@@ -1,0 +1,237 @@
+"""From-scratch HTML main-content extraction kernel.
+
+Boilerpipe/trafilatura-style heuristics (public knowledge: Kohlschütter et
+al., "Boilerplate Detection using Shallow Text Features", WSDM 2010) built on
+the stdlib ``html.parser`` tokenizer — no lxml, no third-party parsers.
+
+Pipeline: tokenize → segment into blocks at block-level tags → per-block
+features (char count, word count, link-char count, boilerplate-ancestor
+flag) → classify (text density vs link density) → emit main text + char-span
+offsets.
+
+This replaces the reference's remote LLM extraction map (reference:
+src/batch_builder.py:23-43 builds the request; the prompt contract at
+prompts/page_ocr/v1.1.jinja:15-264 asks for exactly this: main-content text
+blocks with positions, boilerplate discarded). The per-record error capture
+mirrors process_results_jsonl's never-crash contract (reference:
+src/results.py:171-228).
+
+Determinism contract: same bytes in → same (text, spans) out, regardless of
+thread count, locale, or dict ordering. Everything here is pure and ordered.
+"""
+
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+
+# Tags that delimit blocks (flush current block on open AND close).
+_BLOCK_TAGS = frozenset(
+    {
+        "p", "div", "section", "article", "main", "body",
+        "h1", "h2", "h3", "h4", "h5", "h6",
+        "li", "ul", "ol", "dl", "dt", "dd",
+        "table", "tr", "td", "th", "caption",
+        "blockquote", "pre", "figure", "figcaption",
+        "header", "footer", "nav", "aside", "form", "fieldset",
+        "br", "hr",
+    }
+)
+
+# Subtrees skipped entirely — never contribute text.
+_SKIP_TAGS = frozenset(
+    {"script", "style", "noscript", "template", "head", "svg", "iframe",
+     "button", "select", "option", "textarea", "object", "embed"}
+)
+
+# Subtrees whose text is structural boilerplate by construction.
+_BOILER_TAGS = frozenset({"nav", "header", "footer", "aside", "form"})
+
+_HEADING_TAGS = frozenset({"h1", "h2", "h3", "h4", "h5", "h6"})
+_LIST_TAGS = frozenset({"li", "dt", "dd"})
+_TABLE_TAGS = frozenset({"td", "th", "caption"})
+
+# Void elements that HTMLParser reports via handle_starttag without a close.
+_VOID_TAGS = frozenset({"br", "hr", "img", "input", "meta", "link", "area",
+                        "base", "col", "source", "track", "wbr"})
+
+# Classification thresholds (Boilerpipe-style shallow features).
+MAX_LINK_DENSITY = 1.0 / 3.0
+MIN_CONTENT_WORDS = 4
+MIN_HEADING_WORDS = 1
+
+_DOT_RUN = re.compile(r"\.{6,}")
+
+
+def _normalize_text(raw: str) -> str:
+    """Whitespace-collapse + dot-run squeeze.
+
+    The dot-run rule reproduces the reference prompt's normalization
+    instruction (reference: prompts/page_ocr/v1.1.jinja:93-94 — collapse
+    runs of leader dots).
+    """
+    text = " ".join(raw.split())
+    return _DOT_RUN.sub(".....", text)
+
+
+class _Block:
+    __slots__ = ("kind", "parts", "total_chars", "link_chars")
+
+    def __init__(self, kind: str) -> None:
+        self.kind = kind
+        self.parts: list[str] = []
+        self.total_chars = 0
+        self.link_chars = 0
+
+
+def _kind_for_tag(tag: str) -> str:
+    if tag in _HEADING_TAGS:
+        return "heading"
+    if tag in _LIST_TAGS:
+        return "list"
+    if tag in _TABLE_TAGS:
+        return "table"
+    return "paragraph"
+
+
+class _BlockParser(HTMLParser):
+    """Streaming block segmenter over the stdlib tokenizer."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.blocks: list[tuple[str, str, int, int, bool]] = []
+        self._current = _Block("paragraph")
+        self._skip_depth = 0
+        self._boiler_depth = 0
+        self._anchor_depth = 0
+        self._kind_stack: list[str] = []
+
+    # -- block lifecycle ----------------------------------------------------
+    def _flush(self) -> None:
+        blk = self._current
+        text = _normalize_text("".join(blk.parts))
+        if text:
+            self.blocks.append(
+                (text, blk.kind, blk.total_chars, blk.link_chars,
+                 self._boiler_depth > 0)
+            )
+        kind = self._kind_stack[-1] if self._kind_stack else "paragraph"
+        self._current = _Block(kind)
+
+    # -- tokenizer callbacks ------------------------------------------------
+    def handle_starttag(self, tag: str, attrs) -> None:  # noqa: ANN001
+        if tag in _SKIP_TAGS:
+            self._skip_depth += 1
+            return
+        if self._skip_depth:
+            return
+        if tag == "a":
+            self._anchor_depth += 1
+            return
+        if tag in _BLOCK_TAGS:
+            self._flush()
+            if tag in _VOID_TAGS:  # br/hr: pure separators
+                return
+            if tag in _BOILER_TAGS:
+                self._boiler_depth += 1
+            self._kind_stack.append(_kind_for_tag(tag))
+            self._current.kind = self._kind_stack[-1]
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in _SKIP_TAGS:
+            self._skip_depth = max(0, self._skip_depth - 1)
+            return
+        if self._skip_depth:
+            return
+        if tag == "a":
+            self._anchor_depth = max(0, self._anchor_depth - 1)
+            return
+        if tag in _BLOCK_TAGS and tag not in _VOID_TAGS:
+            self._flush()
+            if tag in _BOILER_TAGS:
+                self._boiler_depth = max(0, self._boiler_depth - 1)
+            if self._kind_stack:
+                self._kind_stack.pop()
+            self._current.kind = (
+                self._kind_stack[-1] if self._kind_stack else "paragraph"
+            )
+
+    def handle_data(self, data: str) -> None:
+        if self._skip_depth or not data:
+            return
+        blk = self._current
+        blk.parts.append(data)
+        n = len(data.strip())
+        blk.total_chars += n
+        if self._anchor_depth:
+            blk.link_chars += n
+
+    def close(self) -> None:  # noqa: D102
+        super().close()
+        self._flush()
+
+
+def segment_blocks(html_text: str) -> list[tuple[str, str, float, bool]]:
+    """Segment HTML text into (text, kind, link_density, is_boiler) blocks."""
+    parser = _BlockParser()
+    # stdlib parser is robust to malformed markup (mirrors the reference's
+    # tolerate-bad-lines stance, reference: src/results.py:96-107); guard
+    # anyway so one pathological page can never kill a batch.
+    parser.feed(html_text)
+    parser.close()
+    out = []
+    for text, kind, total, link, boiler in parser.blocks:
+        density = (link / total) if total > 0 else 0.0
+        out.append((text, kind, density, boiler))
+    return out
+
+
+def classify_blocks(
+    blocks: list[tuple[str, str, float, bool]],
+) -> list[tuple[str, str]]:
+    """Keep content blocks, drop boilerplate. Returns [(text, kind)].
+
+    Rules (deterministic, order-preserving):
+    - anything under nav/header/footer/aside/form is boilerplate;
+    - link density > 1/3 is boilerplate (link farms, menus);
+    - short non-heading blocks (< MIN_CONTENT_WORDS words) are boilerplate;
+    - headings are kept only when at least one content block follows them
+      before the next heading (a heading with no kept body is chrome).
+    """
+    kept: list[tuple[str, str]] = []
+    pending_headings: list[tuple[str, str]] = []
+    for text, kind, link_density, boiler in blocks:
+        if boiler or link_density > MAX_LINK_DENSITY:
+            continue
+        words = len(text.split())
+        if kind == "heading":
+            if words >= MIN_HEADING_WORDS:
+                pending_headings.append((text, kind))
+            continue
+        if words >= MIN_CONTENT_WORDS:
+            kept.extend(pending_headings)
+            pending_headings.clear()
+            kept.append((text, kind))
+    return kept
+
+
+def extract_html(html_text: str) -> tuple[str, list[tuple[int, int, str]]]:
+    """Main entry: HTML text → (extracted_text, spans).
+
+    Spans are (start, end, kind) char offsets into extracted_text; blocks
+    are joined with a blank line. A page that is all boilerplate yields
+    ("", []) — a *success* with empty content, matching the reference's
+    is_complete_page=false contract (reference: src/models.py:70-73).
+    """
+    kept = classify_blocks(segment_blocks(html_text))
+    pieces: list[str] = []
+    spans: list[tuple[int, int, str]] = []
+    offset = 0
+    for i, (text, kind) in enumerate(kept):
+        if i:
+            pieces.append("\n\n")
+            offset += 2
+        pieces.append(text)
+        spans.append((offset, offset + len(text), kind))
+        offset += len(text)
+    return "".join(pieces), spans

@@ -1,0 +1,210 @@
+"""From-scratch minimal PDF text extraction kernel.
+
+pdfminer-*style* (public knowledge: the pdfminer.six layout algorithm —
+char/box collection, line clustering by baseline y, reading-order sort)
+implemented on a minimal PDF content-stream parser. Scope is intentionally
+small (the north_rule requires the clustering style, not full PDF spec
+coverage): text objects (BT..ET) with Tf/Td/TD/TL/T*/Tm positioning and
+Tj/TJ/' show operators, in plain or FlateDecode streams.
+
+Replaces the reference's remote OCR of page images (reference:
+src/batch_api.py:21-27 delegates per-page extraction to a remote service;
+our analog parses the page's own text objects deterministically).
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+_STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.DOTALL)
+_BT_ET_RE = re.compile(rb"BT(.*?)ET", re.DOTALL)
+
+# Tokenize a content stream: strings, arrays, numbers, operators.
+_TOKEN_RE = re.compile(
+    rb"""
+    (?P<str>\((?:\\.|[^\\()])*\))   # literal string incl. escapes
+  | (?P<arr>\[|\])
+  | (?P<num>[-+]?\d*\.?\d+)
+  | (?P<name>/[^\s\[\]()<>/]+)
+  | (?P<op>[A-Za-z'"*]+)
+    """,
+    re.VERBOSE,
+)
+
+_ESCAPES = {
+    b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\f",
+    b"(": b"(", b")": b")", b"\\": b"\\",
+}
+
+# Line clustering tolerance in text-space units (points).
+LINE_Y_TOL = 3.0
+# Column split: a gap in x-start histogram wider than this starts a column.
+COLUMN_GAP_MIN = 120.0
+
+
+def _unescape_pdf_string(raw: bytes) -> str:
+    """Decode a PDF literal string body (between parens)."""
+    out = bytearray()
+    i = 0
+    while i < len(raw):
+        c = raw[i : i + 1]
+        if c == b"\\" and i + 1 < len(raw):
+            nxt = raw[i + 1 : i + 2]
+            if nxt in _ESCAPES:
+                out += _ESCAPES[nxt]
+                i += 2
+                continue
+            if nxt.isdigit():  # octal escape \ddd
+                j = i + 1
+                digits = b""
+                while j < len(raw) and raw[j : j + 1].isdigit() and len(digits) < 3:
+                    digits += raw[j : j + 1]
+                    j += 1
+                out.append(int(digits, 8) & 0xFF)
+                i = j
+                continue
+            i += 1  # lone backslash: drop
+            continue
+        out += c
+        i += 1
+    return out.decode("latin-1")
+
+
+def _iter_text_items(content: bytes):
+    """Yield (x, y, text) for every shown string in the content stream."""
+    for bt_match in _BT_ET_RE.finditer(content):
+        body = bt_match.group(1)
+        x = y = 0.0
+        leading = 12.0
+        nums: list[float] = []
+        strings: list[str] = []
+        in_array = False
+        for m in _TOKEN_RE.finditer(body):
+            kind = m.lastgroup
+            if kind == "num":
+                nums.append(float(m.group("num")))
+            elif kind == "str":
+                strings.append(_unescape_pdf_string(m.group("str")[1:-1]))
+            elif kind == "arr":
+                in_array = m.group("arr") == b"["
+                if in_array:
+                    strings.clear()
+            elif kind == "name":
+                continue
+            elif kind == "op":
+                op = m.group("op")
+                if op == b"Td" and len(nums) >= 2:
+                    x += nums[-2]
+                    y += nums[-1]
+                elif op == b"TD" and len(nums) >= 2:
+                    leading = -nums[-1]
+                    x += nums[-2]
+                    y += nums[-1]
+                elif op == b"TL" and nums:
+                    leading = nums[-1]
+                elif op == b"Tm" and len(nums) >= 6:
+                    x = nums[-2]
+                    y = nums[-1]
+                elif op == b"T*":
+                    y -= leading
+                elif op == b"Tj" and strings:
+                    yield (x, y, strings[-1])
+                elif op == b"'" and strings:
+                    y -= leading
+                    yield (x, y, strings[-1])
+                elif op == b"TJ" and strings:
+                    yield (x, y, "".join(strings))
+                nums.clear()
+                strings.clear()
+                in_array = False
+
+
+def _collect_items(pdf_bytes: bytes) -> list[tuple[float, float, str]]:
+    items: list[tuple[float, float, str]] = []
+    for sm in _STREAM_RE.finditer(pdf_bytes):
+        raw = sm.group(1)
+        try:
+            content = zlib.decompress(raw)
+        except zlib.error:
+            content = raw
+        items.extend(_iter_text_items(content))
+    return items
+
+
+def _cluster_lines(
+    items: list[tuple[float, float, str]],
+) -> list[tuple[float, float, str]]:
+    """Cluster items into lines by y (tolerance), join by x order.
+
+    Returns one (x_min, y, text) per line — the pdfminer-style baseline
+    grouping step.
+    """
+    if not items:
+        return []
+    by_y = sorted(items, key=lambda it: (-it[1], it[0]))
+    lines: list[list[tuple[float, float, str]]] = []
+    for it in by_y:
+        if lines and abs(lines[-1][0][1] - it[1]) <= LINE_Y_TOL:
+            lines[-1].append(it)
+        else:
+            lines.append([it])
+    out = []
+    for line in lines:
+        line.sort(key=lambda it: it[0])
+        text = " ".join(part[2].strip() for part in line if part[2].strip())
+        if text:
+            out.append((min(p[0] for p in line), line[0][1], text))
+    return out
+
+
+def _split_columns(
+    items: list[tuple[float, float, str]],
+) -> list[list[tuple[float, float, str]]]:
+    """Detect a two-column layout by the largest gap in item x-starts.
+
+    Runs BEFORE line clustering (pdfminer-style: boxes group within a
+    column), otherwise same-baseline items across columns would merge
+    into one line.
+    """
+    if len(items) < 4:
+        return [items]
+    xs = sorted({round(it[0], 1) for it in items})
+    if len(xs) < 2:
+        return [items]
+    best_gap, split_at = 0.0, None
+    for a, b in zip(xs, xs[1:]):
+        if b - a > best_gap:
+            best_gap, split_at = b - a, (a + b) / 2.0
+    if best_gap < COLUMN_GAP_MIN or split_at is None:
+        return [items]
+    left = [it for it in items if it[0] < split_at]
+    right = [it for it in items if it[0] >= split_at]
+    if not left or not right:
+        return [items]
+    return [left, right]
+
+
+def extract_pdf(pdf_bytes: bytes) -> tuple[str, list[tuple[int, int, str]]]:
+    """PDF bytes → (extracted_text, spans); spans one per column block.
+
+    Reading order: left column top-down, then right column top-down —
+    the x-then-y sweep named by BASELINE.json's north_star.
+    """
+    items = _collect_items(pdf_bytes)
+    columns = _split_columns(items)
+    pieces: list[str] = []
+    spans: list[tuple[int, int, str]] = []
+    offset = 0
+    for ci, col_items in enumerate(columns):
+        lines = _cluster_lines(col_items)
+        text = "\n".join(l[2] for l in lines)
+        if not text:
+            continue
+        if ci and pieces:
+            pieces.append("\n\n")
+            offset += 2
+        pieces.append(text)
+        spans.append((offset, offset + len(text), "pdf_block"))
+        offset += len(text)
+    return "".join(pieces), spans

@@ -1,0 +1,132 @@
+"""Unit tests for the HTML extraction kernel (pure Python, no Spark).
+
+Mirrors the reference's kernel-level unit tests (reference:
+test/unit/test_results.py:13-75 tests parse/strip helpers the same way).
+"""
+
+import random
+
+from gemini_ocr_batch_spark.datagen import make_html_page
+from gemini_ocr_batch_spark.kernels.html_extract import (
+    classify_blocks,
+    extract_html,
+    segment_blocks,
+)
+
+
+def test_boilerplate_stripped():
+    html = (
+        "<html><body><nav><ul><li><a href='/a'>Home</a></li>"
+        "<li><a href='/b'>About us page</a></li></ul></nav>"
+        "<article><p>This is the real main content of the page with "
+        "plenty of words to pass the threshold.</p></article>"
+        "<footer><p>Copyright 2024 Example Corp all rights reserved "
+        "forever and ever.</p></footer></body></html>"
+    )
+    text, spans = extract_html(html)
+    assert "real main content" in text
+    assert "Home" not in text
+    assert "Copyright" not in text
+    assert len(spans) == 1
+    s, e, kind = spans[0]
+    assert text[s:e] == text
+    assert kind == "paragraph"
+
+
+def test_link_dense_block_dropped():
+    links = "".join(f"<a href='/{i}'>word link {i}</a> " for i in range(20))
+    html = f"<html><body><div>{links}</div></body></html>"
+    text, spans = extract_html(html)
+    assert text == ""
+    assert spans == []
+
+
+def test_heading_kept_with_content_dropped_alone():
+    with_body = (
+        "<body><h1>Title Words Here</h1><p>Enough words to count as real "
+        "content for the block classifier here.</p></body>"
+    )
+    text, _ = extract_html(with_body)
+    assert text.startswith("Title Words Here")
+    alone = "<body><h1>Dangling Chrome Heading</h1></body>"
+    text2, spans2 = extract_html(alone)
+    assert text2 == ""
+    assert spans2 == []
+
+
+def test_multi_block_order_and_span_offsets():
+    html = (
+        "<body><h1>Alpha Title</h1>"
+        "<p>First paragraph with sufficient words to be kept around.</p>"
+        "<p>Second paragraph also has enough words to be kept here.</p>"
+        "<ul><li>List item with five good words inside it.</li></ul></body>"
+    )
+    text, spans = extract_html(html)
+    kinds = [k for _, _, k in spans]
+    assert kinds == ["heading", "paragraph", "paragraph", "list"]
+    # spans tile the text exactly, separated by \n\n, monotone
+    prev_end = None
+    for s, e, _ in spans:
+        assert s < e
+        if prev_end is not None:
+            assert s == prev_end + 2
+            assert text[prev_end:s] == "\n\n"
+        prev_end = e
+    assert prev_end == len(text)
+    assert text.index("First paragraph") < text.index("Second paragraph")
+
+
+def test_entity_unescape_and_dot_squeeze():
+    html = (
+        "<body><p>Fish &amp; chips cost five pounds total "
+        "today.............. yes</p></body>"
+    )
+    text, _ = extract_html(html)
+    assert "Fish & chips" in text
+    assert "......" not in text
+    assert "....." in text
+
+
+def test_malformed_html_still_succeeds():
+    rng = random.Random(7)
+    blob = make_html_page(rng, malformed=True).decode()
+    text, spans = extract_html(blob)
+    assert len(text) > 0
+    assert len(spans) > 0
+
+
+def test_script_style_never_leak():
+    html = (
+        "<body><script>var secret = 'leakme';</script>"
+        "<style>.x{content:'styleleak'}</style>"
+        "<p>Visible words that are definitely long enough to keep.</p></body>"
+    )
+    text, _ = extract_html(html)
+    assert "leakme" not in text
+    assert "styleleak" not in text
+
+
+def test_whitespace_collapsed():
+    html = "<body><p>many     spaces\n\tand \t tabs collapse here fine</p></body>"
+    text, _ = extract_html(html)
+    assert "  " not in text
+
+
+def test_segment_blocks_features():
+    html = "<body><div><a href='/'>half link</a> and plain half</div></body>"
+    blocks = segment_blocks(html)
+    assert len(blocks) == 1
+    _text, _kind, density, boiler = blocks[0]
+    assert 0.3 < density < 0.6
+    assert boiler is False
+
+
+def test_classify_boiler_flag():
+    blocks = [("some words in a nav bar thing", "paragraph", 0.0, True)]
+    assert classify_blocks(blocks) == []
+
+
+def test_determinism():
+    rng = random.Random(11)
+    blob = make_html_page(rng).decode()
+    assert extract_html(blob) == extract_html(blob)

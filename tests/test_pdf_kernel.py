@@ -1,0 +1,105 @@
+"""Unit tests for the minimal PDF extraction kernel (pure Python)."""
+
+import random
+
+from gemini_ocr_batch_spark.datagen import make_pdf_page
+from gemini_ocr_batch_spark.kernels.dispatch import extract_document, sniff_kind
+from gemini_ocr_batch_spark.kernels.pdf_extract import extract_pdf
+
+
+def _simple_pdf(lines, compress=False):
+    import zlib
+
+    ops = ["BT", "/F1 12 Tf"]
+    for x, y, t in lines:
+        ops.append(f"1 0 0 1 {x} {y} Tm ({t}) Tj")
+    ops.append("ET")
+    content = "\n".join(ops).encode("latin-1")
+    if compress:
+        content = zlib.compress(content)
+    return (
+        b"%PDF-1.4\n4 0 obj << /Length "
+        + str(len(content)).encode()
+        + b" >>\nstream\n"
+        + content
+        + b"\nendstream\nendobj\ntrailer\n%%EOF\n"
+    )
+
+
+def test_single_column_reading_order():
+    pdf = _simple_pdf([(72, 700, "first line"), (72, 686, "second line"),
+                       (72, 672, "third line")])
+    text, spans = extract_pdf(pdf)
+    assert text == "first line\nsecond line\nthird line"
+    assert len(spans) == 1
+    assert spans[0][2] == "pdf_block"
+
+
+def test_two_column_left_then_right():
+    pdf = _simple_pdf(
+        [(72, 700, "L1"), (72, 686, "L2"), (72, 672, "L3"), (72, 658, "L4"),
+         (340, 700, "R1"), (340, 686, "R2"), (340, 672, "R3"), (340, 658, "R4")]
+    )
+    text, spans = extract_pdf(pdf)
+    assert text.index("L4") < text.index("R1")
+    assert len(spans) == 2
+    left, right = spans
+    assert text[left[0]:left[1]].splitlines() == ["L1", "L2", "L3", "L4"]
+    assert text[right[0]:right[1]].splitlines() == ["R1", "R2", "R3", "R4"]
+
+
+def test_same_line_joined_by_x_order():
+    pdf = _simple_pdf([(200, 700, "world"), (72, 700, "hello")])
+    text, _ = extract_pdf(pdf)
+    assert text == "hello world"
+
+
+def test_td_relative_positioning_and_escapes():
+    content = (
+        b"BT /F1 12 Tf 72 700 Td (open \\(paren\\)) Tj 0 -14 Td (next) Tj ET"
+    )
+    pdf = (
+        b"%PDF-1.4\n4 0 obj << /Length "
+        + str(len(content)).encode()
+        + b" >>\nstream\n" + content + b"\nendstream\nendobj\n%%EOF\n"
+    )
+    text, _ = extract_pdf(pdf)
+    assert text == "open (paren)\nnext"
+
+
+def test_tj_array_and_flate():
+    rng = random.Random(3)
+    pdf = make_pdf_page(rng, compress=True)
+    text, spans = extract_pdf(pdf)
+    assert len(text) > 20
+    assert spans
+
+
+def test_dispatch_sniffs_pdf():
+    rng = random.Random(5)
+    pdf = make_pdf_page(rng)
+    assert sniff_kind(pdf) == "pdf"
+    text, spans, kind, err = extract_document(pdf, "https://x/a.pdf")
+    assert err is None
+    assert kind == "pdf"
+    assert len(text) > 0
+
+
+def test_dispatch_error_rows():
+    assert extract_document(b"", "u")[3] == "EmptyDocument"
+    assert extract_document(None, "u")[3] == "EmptyDocument"
+    garbage = bytes(range(256)) * 4
+    _, _, _, err = extract_document(garbage, "https://x/b.html")
+    assert err == "DecodeError"
+
+
+def test_dispatch_html_roundtrip():
+    from gemini_ocr_batch_spark.datagen import make_html_page
+
+    rng = random.Random(9)
+    blob = make_html_page(rng)
+    text, spans, kind, err = extract_document(blob, "https://x/c.html")
+    assert err is None
+    assert kind == "html"
+    for s, e, _ in spans:
+        assert 0 <= s < e <= len(text)
