@@ -1,0 +1,249 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All four are pure DataFrame compositions (no Python UDFs anywhere), built
+on engine-portable md5 hashing so a DuckDB oracle reproduces them exactly.
+
+Scale notes (the point of each design):
+- exact:   one shuffle (groupBy hash). At 10^12 rows, hash first and
+           aggregate on the 32-byte digest — never shuffle document text.
+- minhash: explode-to-shingles is the big intermediate; per-(doc, seed)
+           min-reduction is map-side combinable, so the shuffle carries
+           |docs| × n_hashes tiny rows, not the shingle stream. Band
+           buckets then self-join only within equal band signatures — the
+           classic LSH bound on candidate pairs.
+- simhash: linear in token stream; one groupBy(doc); near-dup = Hamming
+           distance on a 64-bit int (cheap bucketed self-join on bit bands).
+- ngram-jaccard: exact pair verification; candidate generation MUST be
+           bounded (shared-shingle join) — used on LSH candidates or small
+           corpora, never blind at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from gemini_ocr_batch_spark.functions.hashing import h_hex, shingles, tokens
+
+# ---------------------------------------------------------------------------
+# Exact dedup (hash-groupBy)
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """One row per distinct text: representative id (min) + group size.
+
+    Returns (keep_id, content_hash, group_size) ordered by keep_id.
+    """
+    return (
+        docs.select(F.col(id_col), h_hex(text_col).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("group_size"),
+        )
+        .select("keep_id", "content_hash", "group_size")
+        .orderBy("keep_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (shingle → minhash → band → bucket-join)
+# ---------------------------------------------------------------------------
+
+
+def _doc_shingles(docs: DataFrame, id_col: str, text_col: str,
+                  n: int) -> DataFrame:
+    return (
+        docs.select(
+            F.col(id_col).alias("doc"),
+            F.explode(shingles(tokens(text_col), n)).alias("shingle"),
+        )
+        .distinct()  # set semantics for Jaccard
+    )
+
+
+def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", n: int = 3,
+                       n_hashes: int = 16) -> DataFrame:
+    """(doc, seed, minhash) — minhash = lexicographic min md5 of seeded
+    shingles. Map-side combinable min-agg: the shuffle is |docs|×n_hashes."""
+    sh = _doc_shingles(docs, id_col, text_col, n)
+    seeds = docs.sparkSession.range(n_hashes).select(
+        F.col("id").cast("int").alias("seed")
+    )
+    return (
+        sh.crossJoin(F.broadcast(seeds))
+        .select(
+            "doc",
+            "seed",
+            F.md5(F.concat_ws(":", F.col("seed"), F.col("shingle"))).alias("h"),
+        )
+        .groupBy("doc", "seed")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", n: int = 3,
+                      n_hashes: int = 16, bands: int = 4) -> DataFrame:
+    """Candidate near-dup pairs (doc_a < doc_b) sharing ≥1 LSH band bucket."""
+    rows_per_band = n_hashes // bands
+    sig = minhash_signatures(docs, id_col, text_col, n, n_hashes)
+    band_sig = (
+        sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+        .groupBy("doc", "band")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("seed", "minhash"))
+                        ),
+                        lambda s: s["minhash"],
+                    ),
+                    "|",
+                )
+            ).alias("bucket")
+        )
+    )
+    a = band_sig.alias("a")
+    b = band_sig.alias("b")
+    return (
+        a.join(b, on=["band", "bucket"])
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+            bits: int = 16) -> DataFrame:
+    """(doc_id, simhash) — sign-sum of per-token hash bits.
+
+    Each distinct token hashes to a 60-bit int; bit i of the simhash is 1
+    iff more tokens have bit i set than unset. ``bits`` ≤ 60. Pure
+    relational: explode tokens → explode bit positions (a small literal
+    array) → conditional sum → bit-OR reassembly.
+    """
+    from gemini_ocr_batch_spark.functions.hashing import h60
+
+    tok = (
+        docs.select(F.col(id_col).alias("doc"),
+                    F.explode(tokens(text_col)).alias("token"))
+        .distinct()
+        .select("doc", h60(F.col("token")).alias("th"))
+    )
+    bit_idx = F.sequence(F.lit(0), F.lit(bits - 1))
+    per_bit = (
+        tok.select("doc", "th", F.explode(bit_idx).alias("bit"))
+        .select(
+            "doc",
+            "bit",
+            # shiftright with a column shift amount needs the SQL form
+            F.when(F.expr("(th >> bit) & 1") == 1, 1)
+            .otherwise(-1)
+            .alias("vote"),
+        )
+        .groupBy("doc", "bit")
+        .agg(F.sum("vote").alias("v"))
+    )
+    return (
+        per_bit.groupBy("doc")
+        .agg(
+            F.sum(
+                F.when(F.col("v") > 0, F.expr("cast(1 as bigint) << bit"))
+                .otherwise(0)
+            ).alias("simhash")
+        )
+        .select(F.col("doc").alias(id_col), F.col("simhash"))
+        .orderBy(id_col)
+    )
+
+
+def simhash_near_pairs(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", bits: int = 16,
+                       max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by simhash Hamming distance ≤ max_hamming.
+
+    Candidate bound via bit-band buckets (split the fingerprint into
+    max_hamming+1 bands; pigeonhole: any pair within distance shares ≥1
+    exact band), then exact Hamming verify with bit_count.
+    """
+    n_bands = max_hamming + 1
+    band_bits = bits // n_bands
+    sig = simhash(docs, id_col, text_col, bits)
+    banded = sig.select(
+        F.col(id_col).alias("doc"),
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
+    ).withColumn(
+        "bucket",
+        F.expr(f"(simhash >> (band * {band_bits})) & {(1 << band_bits) - 1}"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, on=["band", "bucket"])
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact pair similarity)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", n: int = 3,
+                        threshold: float = 0.5,
+                        candidates: DataFrame | None = None) -> DataFrame:
+    """Exact Jaccard over word n-gram shingle sets for candidate pairs.
+
+    Candidates default to "pairs sharing ≥1 shingle" (fine at test scale);
+    at production scale pass LSH candidates to bound the join.
+    Returns (doc_a, doc_b, jaccard) with jaccard ≥ threshold.
+    """
+    sh = _doc_shingles(docs, id_col, text_col, n)
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, on="shingle")
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    if candidates is not None:
+        common = common.join(candidates, on=["doc_a", "doc_b"], how="left_semi")
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("common")
+                / (F.col("na") + F.col("nb") - F.col("common"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .orderBy("doc_a", "doc_b")
+    )

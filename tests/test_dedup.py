@@ -1,0 +1,83 @@
+"""Dedup operator tests over small controlled corpora."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gemini_ocr_batch_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_pairs,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (2, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy dog near the red river bank"),  # near dup
+        (4, "completely different content about spark dataframes and shuffles here"),
+        (5, "another unrelated document discussing window functions and joins"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_groups(spark, corpus):
+    out = exact_dedup(corpus).collect()
+    groups = {r["keep_id"]: r["group_size"] for r in out}
+    assert groups[1] == 2  # docs 1+2 merged
+    assert 2 not in groups
+    assert groups[3] == 1 and groups[4] == 1 and groups[5] == 1
+
+
+def test_minhash_signature_shape(spark, corpus):
+    sig = minhash_signatures(corpus, n_hashes=8)
+    assert sig.count() == 5 * 8
+    # identical docs → identical signatures
+    s1 = {r["seed"]: r["minhash"] for r in sig.filter("doc = 1").collect()}
+    s2 = {r["seed"]: r["minhash"] for r in sig.filter("doc = 2").collect()}
+    assert s1 == s2
+
+
+def test_minhash_lsh_finds_near_dups(spark, corpus):
+    pairs = {(r["doc_a"], r["doc_b"]) for r in
+             minhash_lsh_pairs(corpus, n_hashes=16, bands=8).collect()}
+    assert (1, 2) in pairs  # exact dup always collides
+    assert (1, 3) in pairs or (2, 3) in pairs  # near dup: some band agrees
+    assert (4, 5) not in pairs
+
+
+def test_ngram_jaccard_exact_values(spark, corpus):
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in
+             ngram_jaccard_pairs(corpus, threshold=0.3).collect()}
+    assert pairs[(1, 2)] == pytest.approx(1.0)
+    assert 0.3 <= pairs[(1, 3)] < 1.0
+    assert (4, 5) not in pairs
+
+
+def test_simhash_properties(spark, corpus):
+    sh = {r["doc_id"]: r["simhash"] for r in simhash(corpus, bits=16).collect()}
+    assert sh[1] == sh[2]  # identical text → identical fingerprint
+    assert all(0 <= v < (1 << 16) for v in sh.values())
+    ham_13 = bin(sh[1] ^ sh[3]).count("1")
+    ham_14 = bin(sh[1] ^ sh[4]).count("1")
+    assert ham_13 < ham_14  # near-dup closer than unrelated
+
+
+def test_simhash_near_pairs(spark, corpus):
+    pairs = {(r["doc_a"], r["doc_b"]) for r in
+             simhash_near_pairs(corpus, bits=16, max_hamming=3).collect()}
+    assert (1, 2) in pairs
+    assert (4, 5) not in pairs
+
+
+def test_dedup_on_real_documents_table(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = exact_dedup(docs)
+    assert out.count() <= docs.count()
+    assert out.agg(F.sum("group_size")).collect()[0][0] == docs.count()

@@ -1,0 +1,152 @@
+"""Similarity-search + text-analysis + multimodal operator tests."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from gemini_ocr_batch_spark.operators.multimodal import (
+    asset_metadata,
+    frame_sample_plan,
+)
+from gemini_ocr_batch_spark.operators.similarity import (
+    brute_force_topk,
+    embedding_near_dup_pairs,
+    lsh_topk,
+)
+from gemini_ocr_batch_spark.operators.textstats import (
+    _winnow_one,
+    content_fingerprint,
+    language_id,
+    quality_score,
+    token_count,
+    winnow_fingerprints,
+)
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _py_cosine(a, b):
+    dot = sum(x * y for x, y in zip(a, b))
+    return dot / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)))
+
+
+def test_brute_force_topk_matches_python(spark, embeddings):
+    rows = embeddings.collect()
+    q = list(rows[0]["embedding"])
+    scored = sorted(
+        ((_py_cosine(list(r["embedding"]), q), r["vec_id"]) for r in rows),
+        key=lambda t: (-t[0], t[1]),
+    )[:10]
+    expected = [vid for _, vid in scored]
+    got = [r["vec_id"] for r in brute_force_topk(embeddings, q, k=10).collect()]
+    assert got == expected
+    assert got[0] == rows[0]["vec_id"]  # self is its own nearest neighbor
+
+
+def test_lsh_topk_subset_of_bucket_and_sane(spark, embeddings):
+    q = list(embeddings.first()["embedding"])
+    got = lsh_topk(embeddings, q, k=10, n_planes=6).collect()
+    assert 1 <= len(got) <= 10
+    assert got[0]["vec_id"] == embeddings.first()["vec_id"]
+    # ranks contiguous from 1
+    assert [r["rank"] for r in got] == list(range(1, len(got) + 1))
+
+
+def test_embedding_near_dup_pairs_finds_planted(spark):
+    base = [float(i % 7) - 3.0 for i in range(16)]
+    near = [v * 1.001 for v in base]
+    far = [float((i * 3) % 5) - 2.0 for i in range(16)]
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "vec_id long, embedding array<float>"
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             embedding_near_dup_pairs(df, threshold=0.99).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_token_count_and_quality(spark):
+    df = spark.createDataFrame(
+        [(1, "The cat sat on the mat and it was good."),
+         (2, "x")],
+        "doc_id long, text string",
+    )
+    tc = {r["doc_id"]: r for r in token_count(df).collect()}
+    assert tc[1]["ws_tokens"] == 10
+    assert tc[1]["bpe_est_tokens"] == math.ceil(40 / 4)
+    q = {r["doc_id"]: r for r in quality_score(df).collect()}
+    assert q[1]["quality"] > q[2]["quality"]
+    assert 0.0 <= q[2]["quality"] <= 1.0
+
+
+def test_language_id(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog went to the house of a friend"),
+            (2, "der hund und die katze sind nicht in das haus"),
+            (3, "le chat et les chiens est une histoire que pas"),
+            (4, "zzz qqq www"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["pred_lang"] for r in language_id(df).collect()}
+    assert out[1] == "en"
+    assert out[2] == "de"
+    assert out[3] == "fr"
+    assert out[4] == "und"
+
+
+def test_fingerprints(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "hello world"), (3, "something else")],
+        "doc_id long, text string",
+    )
+    fp = {r["doc_id"]: r["fingerprint"] for r in content_fingerprint(df).collect()}
+    assert fp[1] == fp[2]  # case/whitespace-normalized
+    assert fp[1] != fp[3]
+
+
+def test_winnowing(spark):
+    a = "the quick brown fox jumps over the lazy dog " * 3
+    b = "the quick brown fox leaps over the lazy dog " * 3
+    fa, fb = set(_winnow_one(a)), set(_winnow_one(b))
+    assert fa and fb
+    overlap = len(fa & fb) / len(fa | fb)
+    assert overlap > 0.3  # shared k-grams survive winnowing
+    df = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+    rows = {r["doc_id"]: r["fingerprints"] for r in
+            winnow_fingerprints(df).collect()}
+    assert rows[1] == _winnow_one(a)  # Spark path == pure-python path
+
+
+def test_asset_metadata_plumbing(spark):
+    blobs = [
+        (1, b"\xff\xd8\xff\xe0" + b"j" * 100),
+        (2, b"\x89PNG\r\n" + b"p" * 50),
+        (3, b"%PDF-1.4 fake"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(blobs, "asset_id long, asset binary")
+    out = {r["asset_id"]: r for r in asset_metadata(df).collect()}
+    assert out[1]["guessed_kind"] == "jpeg"
+    assert out[2]["guessed_kind"] == "png"
+    assert out[3]["guessed_kind"] == "pdf"
+    assert out[4]["byte_size"] == 0
+    assert out[1]["byte_size"] == 104
+    assert 1 <= out[1]["fake_width"] <= 1920
+    plan = frame_sample_plan(asset_metadata(df).filter(F.col("byte_size") > 0),
+                             every_n=30)
+    assert plan.count() >= 3  # at least frame 0 per non-empty asset
+
+
+def test_decode_stub_raises(spark):
+    from gemini_ocr_batch_spark.operators.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff")
