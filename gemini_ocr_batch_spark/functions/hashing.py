@@ -50,7 +50,11 @@ def shingles(token_col: Column, n: int) -> Column:
     DuckDB twin: join against generate_series(1, len(tokens)-n+1) and
     array_to_string(tokens[i : i+n-1], ' ').
     """
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(token_col) - (n - 1), F.lit(0))),
-        lambda i: F.array_join(F.slice(token_col, i, n), " "),
-    )
+    # guard: sequence(1, 0) would DESCEND in Spark — short docs get no shingles
+    return F.when(
+        F.size(token_col) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(token_col) - (n - 1)),
+            lambda i: F.array_join(F.slice(token_col, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))

