@@ -616,6 +616,50 @@ lang_markers(lang, markers) AS (
 """
 
 
+
+def _minhash_oracle_sql(n_hashes: int = 16, bands: int = 4) -> str:
+    """DuckDB twin of minhash_lsh_pairs: identical universal-hash params
+    inlined as literals (single source of truth: dedup.minhash_params)."""
+    from gemini_ocr_batch_spark.operators.dedup import MINHASH_P, minhash_params
+
+    params = minhash_params(n_hashes)
+    rows_per_band = n_hashes // bands
+    mh_cols = ",\n                     ".join(
+        f"min(({a} * h + {b}) % {MINHASH_P}) AS mh{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    band_selects = "\n              UNION ALL ".join(
+        "SELECT doc, {band} AS band, md5({concat}) AS bucket FROM mh".format(
+            band=band,
+            concat=" || '|' || ".join(
+                f"mh{band * rows_per_band + j}" for j in range(rows_per_band)
+            ),
+        )
+        for band in range(bands)
+    )
+    return f"""
+            WITH {_SHINGLES_CTE},
+            based AS (
+              SELECT doc,
+                     CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT)
+                       % {MINHASH_P} AS h
+              FROM sh
+            ),
+            mh AS (
+              SELECT doc,
+                     {mh_cols}
+              FROM based GROUP BY doc
+            ),
+            banded AS (
+              {band_selects}
+            )
+            SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+            FROM banded a JOIN banded b USING (band, bucket)
+            WHERE a.doc < b.doc
+            ORDER BY doc_a, doc_b
+        """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "extract_main_text": """
@@ -794,24 +838,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE common * 1.0 / (sa.n_sh + sb.n_sh - common) >= 0.2
             ORDER BY doc_a, doc_b
         """,
-        "dedup_minhash_lsh": f"""
-            WITH {_SHINGLES_CTE},
-            mh AS (
-              SELECT doc, seed.i AS seed,
-                     min(md5(seed.i || ':' || shingle)) AS minhash
-              FROM sh, generate_series(0, 15) AS seed(i)
-              GROUP BY doc, seed.i
-            ),
-            band_sig AS (
-              SELECT doc, CAST(seed // 4 AS INT) AS band,
-                     md5(string_agg(minhash, '|' ORDER BY seed)) AS bucket
-              FROM mh GROUP BY doc, CAST(seed // 4 AS INT)
-            )
-            SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
-            FROM band_sig a JOIN band_sig b USING (band, bucket)
-            WHERE a.doc < b.doc
-            ORDER BY doc_a, doc_b
-        """,
+        "dedup_minhash_lsh": _minhash_oracle_sql(),
         "dedup_simhash": f"""
             WITH tok AS (
               SELECT DISTINCT doc_id AS doc, t.token AS token

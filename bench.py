@@ -1,0 +1,148 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": <float>,
+   "extraction": {...docs/sec detail...}}
+
+The headline metric is the extraction pipeline (the BASELINE.json
+north_star workload): pages synthesized deterministically from the
+documents table (driver data only — replicated EXPAND× with distinct urls
+to give the kernel a meaningful workload), run through the full
+anti-join → salt → mapInPandas → sink DAG.
+
+Scaling-efficiency evidence (north_rule: ≥0.8 from N to 4N) is produced by
+``bench_scaling.py``, which re-invokes this file at two parallelism levels.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+from pyspark.sql import functions as F
+
+# pages per document row synthesized for the extraction benchmark
+EXPAND = 32
+
+
+def synth_bench_pages(spark, sf_dir: str):
+    """Deterministic pages table: documents × EXPAND with distinct urls and
+    a boilerplate-wrapped HTML body (same template as __spark_entry__)."""
+    import __spark_entry__ as entrymod
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rep = docs.select(
+        "doc_id",
+        "text",
+        "lang",
+        F.explode(F.sequence(F.lit(0), F.lit(EXPAND - 1))).alias("rep"),
+    )
+    return rep.select(
+        F.concat(
+            F.lit("https://synth.example.org/doc/"),
+            F.col("doc_id").cast("string"),
+            F.lit("/"),
+            F.col("rep").cast("string"),
+            F.lit(".html"),
+        ).alias("url"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        F.encode(
+            F.concat(
+                F.lit(entrymod._HTML_PREFIX),
+                F.col("text"),
+                # vary the tail so pages aren't byte-identical across reps
+                F.lit(" rep "),
+                F.col("rep").cast("string"),
+                F.lit(entrymod._HTML_SUFFIX),
+            ),
+            "utf-8",
+        ).alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
+
+    from gemini_ocr_batch_spark.session import get_spark
+
+    spark = get_spark(app_name="bench", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus)
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn) -> float:
+        t0 = time.perf_counter()
+        fn()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        return dt
+
+    # --- headline: full extraction job (anti-join, salt, kernel, sinks) ---
+    pages = synth_bench_pages(spark, sf_dir)
+    n_pages = pages.count()  # materialize input count outside the timing
+    out_dir = tempfile.mkdtemp(prefix="bench_extract_")
+    from gemini_ocr_batch_spark.job import run_extraction_job
+    from gemini_ocr_batch_spark.operators.extract import extract_pages
+
+    # warm the Python workers + JIT (constant startup, not throughput)
+    extract_pages(pages.limit(cpus * 8), n_partitions=cpus).count()
+
+    t0 = time.perf_counter()
+    res = run_extraction_job(spark, pages, out_dir, max_retries=1,
+                             n_partitions=cpus * 2)
+    extract_sec = time.perf_counter() - t0
+    timings["extract_pipeline"] = round(extract_sec, 3)
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    # --- representative operator queries over the driver tables ---
+    bench_queries = [
+        "pricing_summary",
+        "star_join",
+        "dependency_lag",
+        "group_collect",
+        "dedup_exact",
+        "dedup_minhash_lsh",
+        "token_count",
+        "quality_score",
+        "language_id",
+        "ann_bruteforce",
+    ]
+    for name in bench_queries:
+        timed(name, lambda n=name: qs[n](spark, sf_dir).count())
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "extraction": {
+                    "pages": n_pages,
+                    "extracted_rows": res.extracted_rows,
+                    "docs_per_sec": round(n_pages / extract_sec, 1),
+                    "cpus": cpus,
+                },
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -5,9 +5,21 @@ loop + scan + submit + poll + process) collapses into ONE DataFrame DAG per
 pass, re-run at most ``max_retries`` times by a driver loop (SURVEY.md
 §3.4: with a pure extractor, wave execution degenerates to the retry loop):
 
-    pages ⟕̸ checkpoint  →  salt-by-size repartition  →  mapInPandas(extract)
-          →  write extracted (success rows)  →  MERGE checkpoint
-          →  append lineage  →  append failures
+    pages ⟕̸ checkpoint → salt-by-size repartition → mapInPandas(extract)
+          → ONE bulk write, hive-partitioned by (run_id, pass_num, is_ok)
+          → checkpoint MERGE + lineage + failure log from column-pruned
+            reads of that same parquet
+
+Physical design (why one write): the kernel output is written exactly once
+to ``extracted_all/run_id=R/pass_num=N/is_ok=…``. Everything downstream —
+the success view, the failure log, the per-partition lineage rows, the
+checkpoint delta — is a *metadata-cheap* read of that parquet (partition
+pruning on is_ok, column pruning to the few small columns each consumer
+needs). No ``persist()``: caching the bulk map output scales badly (block-
+manager contention locally; impossible at 10^12 rows on a cluster), while
+re-reading pruned columns from parquet is nearly free. The kernel job
+itself doubles as the frontier-emptiness probe: an empty pass writes zero
+rows and the loop exits — no separate anti-join pre-scan.
 
 Idempotence: rerunning the job is a no-op once every key is success/dead —
 the anti-join (checkpoint.pending) returns an empty frontier, exactly like
@@ -22,11 +34,22 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from gemini_ocr_batch_spark.checkpoint import ParquetCheckpointStore
-from gemini_ocr_batch_spark.lineage import append_lineage
+from gemini_ocr_batch_spark.lineage import lineage_rows
 from gemini_ocr_batch_spark.operators.extract import extract_pages
-from gemini_ocr_batch_spark.schemas import EXTRACTED_USER_COLUMNS
+from gemini_ocr_batch_spark.schemas import (
+    EXTRACTED_SCHEMA,
+    EXTRACTED_USER_COLUMNS,
+    LINEAGE_SCHEMA,
+)
+
+# staged-pass schema: kernel output + the is_ok partition column
+STAGED_SCHEMA = T.StructType(
+    list(EXTRACTED_SCHEMA.fields)
+    + [T.StructField("is_ok", T.BooleanType(), True)]
+)
 
 
 class JobResult:
@@ -53,17 +76,18 @@ def run_extraction_job(
     """Run extraction to completion (every key success or dead).
 
     Layout under ``out_dir``:
-      extracted/   — success rows, append-only parquet
-      checkpoint/  — snapshot store
-      lineage/     — per-partition metrics, append-only
-      failures/    — typed failure rows, append-only (reference:
-                     failure_logs, src/database.py:101-125)
+      extracted_all/  — ALL kernel output, written once per pass, under
+                        run_id=R/pass_num=N/is_ok=… hive paths
+      checkpoint/     — snapshot store (atomic pointer swap)
+      lineage/        — per-partition metrics, append-only
+      failures/       — typed failure rows, append-only (reference:
+                        failure_logs, src/database.py:101-125)
     """
     run_id = run_id or uuid.uuid4().hex[:12]
     store = ParquetCheckpointStore(
         os.path.join(out_dir, "checkpoint"), max_retries=max_retries
     )
-    extracted_path = os.path.join(out_dir, "extracted")
+    all_path = os.path.join(out_dir, "extracted_all")
     lineage_path = os.path.join(out_dir, "lineage")
     failures_path = os.path.join(out_dir, "failures")
 
@@ -71,39 +95,47 @@ def run_extraction_job(
     t_start = time.perf_counter()
     for pass_num in range(max_retries):
         frontier = store.pending(pages)
-        # one cheap action to decide loop exit; the frontier plan is lazy
-        if frontier.limit(1).count() == 0:
-            break
+        # --- the one bulk job: kernel + single partitioned write ---
+        staged_path = os.path.join(
+            all_path, f"run_id={run_id}", f"pass_num={pass_num}"
+        )
         extracted = extract_pages(frontier, n_partitions=n_partitions)
-        # One pass over the UDF output feeds four sinks; cache so the
-        # extraction kernel runs once, not four times.
-        extracted.persist()
-        try:
-            n_total = extracted.count()
-            ok = extracted.filter(F.col("error_type").isNull())
-            bad = extracted.filter(F.col("error_type").isNotNull())
-            ok.select(*EXTRACTED_USER_COLUMNS).write.mode("append").parquet(
-                extracted_path
-            )
-            append_lineage(extracted, run_id, pass_num, lineage_path)
-            bad.select(
+        (
+            extracted.withColumn("is_ok", F.col("error_type").isNull())
+            .write.partitionBy("is_ok")
+            .parquet(staged_path)
+        )
+        # --- cheap derived jobs over the pass we just wrote ---
+        staged = spark.read.schema(STAGED_SCHEMA).parquet(staged_path)
+        # one tiny aggregate gives lineage rows AND the pass accounting;
+        # collect it (≤ one row per physical partition) instead of
+        # re-reading the growing lineage dir
+        lin_rows = lineage_rows(staged, run_id, pass_num).collect()
+        if lin_rows:
+            spark.createDataFrame(lin_rows, LINEAGE_SCHEMA).coalesce(
+                1
+            ).write.mode("append").parquet(lineage_path)
+        n_total = sum(int(r["row_count"]) for r in lin_rows)
+        n_bad = sum(int(r["failure_count"]) for r in lin_rows)
+        if n_total == 0:
+            break  # empty frontier — the job is complete
+        # checkpoint MERGE reads only the 3 key/status columns
+        store.merge_results(staged.select("url", "warc_ts", "error_type"))
+        if n_bad:
+            # failure log: partition-pruned (is_ok=false) + column-pruned
+            staged.filter(~F.col("is_ok")).select(
                 "url",
                 "warc_ts",
                 "error_type",
                 F.lit(pass_num + 1).cast("int").alias("attempts"),
                 F.lit(run_id).alias("run_id"),
                 F.current_timestamp().alias("created_at"),
-            ).write.mode("append").parquet(failures_path)
-            store.merge_results(extracted)
-            n_bad = bad.count()
-            result.passes += 1
-            result.extracted_rows += n_total
-            result.success_rows += n_total - n_bad
-            result.failed_rows += n_bad
-        finally:
-            extracted.unpersist()
-        if result.failed_rows == 0 and pass_num == 0:
-            # all succeeded on the first pass — retry loop has nothing to do
+            ).coalesce(8).write.mode("append").parquet(failures_path)
+        result.passes += 1
+        result.extracted_rows += n_total
+        result.success_rows += n_total - n_bad
+        result.failed_rows += n_bad
+        if n_bad == 0:
             break
         # deterministic kernels: a retry of the same bytes fails identically,
         # so the loop exists for transient task-level faults; the anti-join
@@ -114,4 +146,10 @@ def run_extraction_job(
 
 
 def read_extracted(spark: SparkSession, out_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(out_dir, "extracted"))
+    """The success-only extracted view: partition-pruned on is_ok=true."""
+    return (
+        spark.read.parquet(os.path.join(out_dir, "extracted_all"))
+        # partition discovery types is_ok as a string ("true"/"false")
+        .filter(F.col("is_ok") == "true")
+        .select(*EXTRACTED_USER_COLUMNS)
+    )

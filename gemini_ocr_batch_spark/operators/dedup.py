@@ -64,24 +64,57 @@ def _doc_shingles(docs: DataFrame, id_col: str, text_col: str,
     )
 
 
+# universal-hash minhash (Carter-Wegman): minhash_s = min over shingles of
+# (a_s * h + b_s) mod P, with h a 31-bit base hash of the shingle. One md5
+# per shingle instead of one per (shingle × seed); the per-seed work is an
+# integer multiply-add, computed as n_hashes parallel min-aggregate columns
+# in ONE groupBy — no crossJoin, no explode, map-side partial aggregation.
+MINHASH_P = (1 << 31) - 1
+
+
+def minhash_params(n_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs via a fixed LCG — shared verbatim with the
+    DuckDB oracle (inlined as literals)."""
+    params = []
+    x = 88172645463325252
+    for _ in range(n_hashes):
+        x = (6364136223846793005 * x + 1442695040888963407) % (1 << 63)
+        a = (x % (MINHASH_P - 1)) + 1
+        x = (6364136223846793005 * x + 1442695040888963407) % (1 << 63)
+        b = x % MINHASH_P
+        params.append((a, b))
+    return params
+
+
+def _sig_frame(docs: DataFrame, id_col: str, text_col: str, n: int,
+               n_hashes: int) -> DataFrame:
+    """One row per doc with n_hashes minhash columns mh0..mh{k-1}."""
+    from gemini_ocr_batch_spark.functions.hashing import h60
+
+    sh = _doc_shingles(docs, id_col, text_col, n)
+    based = sh.select(
+        "doc", (h60(F.col("shingle")) % MINHASH_P).alias("h")
+    )
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"mh{i}")
+        for i, (a, b) in enumerate(minhash_params(n_hashes))
+    ]
+    return based.groupBy("doc").agg(*aggs)
+
+
 def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", n: int = 3,
                        n_hashes: int = 16) -> DataFrame:
-    """(doc, seed, minhash) — minhash = lexicographic min md5 of seeded
-    shingles. Map-side combinable min-agg: the shuffle is |docs|×n_hashes."""
-    sh = _doc_shingles(docs, id_col, text_col, n)
-    seeds = docs.sparkSession.range(n_hashes).select(
-        F.col("id").cast("int").alias("seed")
+    """(doc, seed, minhash) — long-form signature view."""
+    sig = _sig_frame(docs, id_col, text_col, n, n_hashes)
+    structs = F.array(
+        *[
+            F.struct(F.lit(i).alias("seed"), F.col(f"mh{i}").alias("minhash"))
+            for i in range(n_hashes)
+        ]
     )
-    return (
-        sh.crossJoin(F.broadcast(seeds))
-        .select(
-            "doc",
-            "seed",
-            F.md5(F.concat_ws(":", F.col("seed"), F.col("shingle"))).alias("h"),
-        )
-        .groupBy("doc", "seed")
-        .agg(F.min("h").alias("minhash"))
+    return sig.select("doc", F.explode(structs).alias("s")).select(
+        "doc", "s.seed", "s.minhash"
     )
 
 
@@ -90,26 +123,29 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
                       n_hashes: int = 16, bands: int = 4) -> DataFrame:
     """Candidate near-dup pairs (doc_a < doc_b) sharing ≥1 LSH band bucket."""
     rows_per_band = n_hashes // bands
-    sig = minhash_signatures(docs, id_col, text_col, n, n_hashes)
-    band_sig = (
-        sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
-        .groupBy("doc", "band")
-        .agg(
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct("seed", "minhash"))
-                        ),
-                        lambda s: s["minhash"],
-                    ),
-                    "|",
-                )
-            ).alias("bucket")
-        )
+    sig = _sig_frame(docs, id_col, text_col, n, n_hashes)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.col(f"mh{band * rows_per_band + j}")
+                            for j in range(rows_per_band)
+                        ],
+                    )
+                ).alias("bucket"),
+            )
+            for band in range(bands)
+        ]
     )
-    a = band_sig.alias("a")
-    b = band_sig.alias("b")
+    banded = sig.select("doc", F.explode(band_structs).alias("bb")).select(
+        "doc", "bb.band", "bb.bucket"
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
     return (
         a.join(b, on=["band", "bucket"])
         .filter(F.col("a.doc") < F.col("b.doc"))

@@ -45,8 +45,10 @@ def test_minhash_signature_shape(spark, corpus):
 
 
 def test_minhash_lsh_finds_near_dups(spark, corpus):
+    # 1 row per band → per-band collision prob equals the Jaccard itself,
+    # so a ~0.6-Jaccard pair reliably collides in ≥1 of 16 bands
     pairs = {(r["doc_a"], r["doc_b"]) for r in
-             minhash_lsh_pairs(corpus, n_hashes=16, bands=8).collect()}
+             minhash_lsh_pairs(corpus, n_hashes=16, bands=16).collect()}
     assert (1, 2) in pairs  # exact dup always collides
     assert (1, 3) in pairs or (2, 3) in pairs  # near dup: some band agrees
     assert (4, 5) not in pairs
