@@ -533,6 +533,69 @@ def _q_extraction_resume(spark, sf_dir):
     )
 
 
+
+def _q_json_path_extract(spark, sf_dir):
+    # F9: nested JSON path extraction (reference: src/results.py:42-54).
+    from gemini_ocr_batch_spark.functions.jsonops import json_path
+
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        json_path("props", "$.k").cast("int").alias("k"),
+    ).orderBy("event_id")
+
+
+def _q_json_fence_rescue(spark, sf_dir):
+    # F6+F7: code-fence strip + brace-window rescue (reference:
+    # src/results.py:58-78) over synthesized fenced payloads.
+    from gemini_ocr_batch_spark.functions.jsonops import (
+        brace_rescue,
+        json_path,
+        strip_code_fence,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    fenced = ev.select(
+        "event_id",
+        F.concat(
+            F.lit("```json\n noise "), F.col("props"), F.lit(" noise\n```")
+        ).alias("raw"),
+    )
+    rescued = fenced.select(
+        "event_id", brace_rescue(strip_code_fence(F.col("raw"))).alias("j")
+    )
+    return rescued.select(
+        "event_id", json_path(F.col("j"), "$.k").cast("int").alias("k")
+    ).orderBy("event_id")
+
+
+def _q_json_validate(spark, sf_dir):
+    # F8: from_json schema validation; null ≙ ValidationError (reference:
+    # src/results.py:156).
+    from gemini_ocr_batch_spark.functions.jsonops import parse_validated
+
+    ev = _t(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_id", parse_validated("props", "k int").alias("p")
+    )
+    return parsed.select(
+        "event_id",
+        F.col("p.k").alias("k"),
+        F.col("p").isNotNull().cast("int").alias("valid"),
+    ).orderBy("event_id")
+
+
+def _q_sessionize(spark, sf_dir):
+    # sessionization: lag + cumulative-sum session ids (batch twin of the
+    # applyInPandasWithState streaming operator).
+    from gemini_ocr_batch_spark.streaming.pipeline import sessionize_batch
+
+    ev = _t(spark, sf_dir, "events")
+    return sessionize_batch(ev, gap_sec=3600).select(
+        "user_id", "session_id", "session_start", "session_end", "n_events"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # flagship + engine ops
@@ -574,6 +637,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": _q_language_id,
         "fingerprint": _q_fingerprint,
         "winnow_fingerprints": _q_winnow_fingerprints,
+        "json_path_extract": _q_json_path_extract,
+        "json_fence_rescue": _q_json_fence_rescue,
+        "json_validate": _q_json_validate,
+        "sessionize": _q_sessionize,
         "ann_bruteforce": _q_ann_bruteforce,
         "ann_lsh": _q_ann_lsh,
         "embedding_norm": _q_embedding_norm,
@@ -913,6 +980,69 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(array_to_string({_TOKENS}, ' ')) AS fingerprint
             FROM documents ORDER BY doc_id
+        """,
+        "json_path_extract": """
+            SELECT event_id,
+                   CAST(json_extract_string(props, '$.k') AS INT) AS k
+            FROM events ORDER BY event_id
+        """,
+        "json_fence_rescue": """
+            WITH fenced AS (
+              SELECT event_id,
+                     '```json' || chr(10) || ' noise ' || props ||
+                     ' noise' || chr(10) || '```' AS raw
+              FROM events
+            ),
+            stripped AS (
+              SELECT event_id,
+                     regexp_replace(raw,
+                       '^```[a-zA-Z]*\\n(.*)\\n```$', '\\1', 's') AS c
+              FROM fenced
+            ),
+            rescued AS (
+              SELECT event_id,
+                     CASE WHEN strpos(c, '{') > 0
+                           AND length(c) - strpos(reverse(c), '}') + 1
+                               >= strpos(c, '{')
+                          THEN substr(c, strpos(c, '{'),
+                               length(c) - strpos(reverse(c), '}') + 1
+                               - strpos(c, '{') + 1)
+                     END AS j
+              FROM stripped
+            )
+            SELECT event_id,
+                   CAST(json_extract_string(j, '$.k') AS INT) AS k
+            FROM rescued ORDER BY event_id
+        """,
+        "json_validate": """
+            SELECT event_id,
+                   CAST(json_extract_string(props, '$.k') AS INT) AS k,
+                   CASE WHEN json_valid(props) THEN 1 ELSE 0 END AS valid
+            FROM events ORDER BY event_id
+        """,
+        "sessionize": """
+            WITH gapped AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                               > CAST(3600000000 AS BIGINT)
+                          THEN 1 ELSE 0 END AS new_session
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            sessions AS (
+              SELECT user_id, ts,
+                     sum(new_session) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id
+                                            ROWS UNBOUNDED PRECEDING)
+                       AS session_id
+              FROM gapped
+            )
+            SELECT user_id, session_id,
+                   min(ts) AS session_start, max(ts) AS session_end,
+                   CAST(count(*) AS INT) AS n_events
+            FROM sessions GROUP BY user_id, session_id
+            ORDER BY user_id, session_id
         """,
         "ann_bruteforce": """
             WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
