@@ -1,0 +1,73 @@
+"""Physical-plan regression tests: pin the scale-critical plan shapes
+(SURVEY.md §4, PLANS.md). A change that loses pushdown/pruning/broadcast
+fails here, not in a benchmark."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as em
+from gemini_ocr_batch_spark.plans import (
+    pushed_filters,
+    read_schemas,
+    uses_broadcast_join,
+    uses_take_ordered,
+)
+
+QS = em.queries()
+
+
+def test_resume_anti_join_broadcasts(spark, sf_dir):
+    df = QS["pending_anti_join"](spark, sf_dir)
+    assert uses_broadcast_join(df, "LeftAnti")
+
+
+def test_membership_filter_pushed_and_pruned(spark, sf_dir):
+    df = QS["membership_filter"](spark, sf_dir)
+    assert any("In(lang" in f for f in pushed_filters(df))
+    assert any(s == "struct<lang:string>" for s in read_schemas(df))
+
+
+def test_star_join_broadcasts_dims(spark, sf_dir):
+    df = QS["star_join"](spark, sf_dir)
+    assert uses_broadcast_join(df, "Inner")
+    # dims pruned to key columns — no payload columns move
+    schemas = read_schemas(df)
+    assert any("n_nationkey" in s and "n_name" not in s for s in schemas)
+
+
+def test_pricing_summary_pushes_date_filter(spark, sf_dir):
+    df = QS["pricing_summary"](spark, sf_dir)
+    assert any("l_shipdate" in f and "LessThanOrEqual" in f
+               for f in pushed_filters(df))
+    # column pruning: l_orderkey etc. never read
+    assert all("l_orderkey" not in s for s in read_schemas(df))
+
+
+def test_ordered_limit_avoids_global_sort(spark, sf_dir):
+    assert uses_take_ordered(QS["ordered_limit"](spark, sf_dir))
+    assert uses_take_ordered(QS["recency_limit"](spark, sf_dir))
+
+
+def test_checkpoint_pending_reads_keys_only(spark, pages_df, tmp_path):
+    from gemini_ocr_batch_spark.checkpoint import ParquetCheckpointStore
+
+    store = ParquetCheckpointStore(str(tmp_path / "ck"))
+    df = store.pending(pages_df)
+    assert uses_broadcast_join(df, "LeftAnti")
+
+
+def test_extract_prunes_blob_inputs(spark, pages_df):
+    """The kernel stage reads only (url, warc_ts, html) — text/lang never
+    enter the shuffle."""
+    from gemini_ocr_batch_spark.operators.extract import extract_pages
+    from gemini_ocr_batch_spark.plans import formatted_plan
+
+    df = extract_pages(pages_df, n_partitions=4)
+    schemas = read_schemas(df)
+    assert schemas, "expected a parquet scan in the plan"
+    for s in schemas:
+        cols = {part.split(":")[0] for part in
+                s.removeprefix("struct<").removesuffix(">").split(",")}
+        assert cols <= {"url", "warc_ts", "html"}, s
+    assert "Exchange" in formatted_plan(df)  # the one deliberate (salt) shuffle
