@@ -52,6 +52,33 @@ STAGED_SCHEMA = T.StructType(
 )
 
 
+def _append_lineage_rows(rows, lineage_path: str, run_id: str,
+                         pass_num: int) -> None:
+    """Append collected lineage rows as one parquet file, driver-side."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(lineage_path, exist_ok=True)
+    cols = {f.name: [r[f.name] for r in rows] for f in LINEAGE_SCHEMA.fields}
+    table = pa.table(
+        {
+            "run_id": pa.array(cols["run_id"], pa.string()),
+            "pass_num": pa.array(cols["pass_num"], pa.int32()),
+            "partition_id": pa.array(cols["partition_id"], pa.int32()),
+            "row_count": pa.array(cols["row_count"], pa.int64()),
+            "success_count": pa.array(cols["success_count"], pa.int64()),
+            "failure_count": pa.array(cols["failure_count"], pa.int64()),
+            "bytes_in": pa.array(cols["bytes_in"], pa.int64()),
+            "kernel_wall_ms": pa.array(cols["kernel_wall_ms"], pa.float64()),
+            "extractor_version": pa.array(cols["extractor_version"], pa.string()),
+            "started_at": pa.array(cols["started_at"], pa.timestamp("us")),
+        }
+    )
+    pq.write_table(
+        table, os.path.join(lineage_path, f"part-{run_id}-{pass_num}.parquet")
+    )
+
+
 class JobResult:
     def __init__(self) -> None:
         self.passes = 0
@@ -108,13 +135,12 @@ def run_extraction_job(
         # --- cheap derived jobs over the pass we just wrote ---
         staged = spark.read.schema(STAGED_SCHEMA).parquet(staged_path)
         # one tiny aggregate gives lineage rows AND the pass accounting;
-        # collect it (≤ one row per physical partition) instead of
-        # re-reading the growing lineage dir
+        # collect it (≤ one row per physical partition) and append via a
+        # direct driver-side pyarrow write — a Spark job for ≤64 rows costs
+        # ~2 s of fixed scheduling/commit latency per pass
         lin_rows = lineage_rows(staged, run_id, pass_num).collect()
         if lin_rows:
-            spark.createDataFrame(lin_rows, LINEAGE_SCHEMA).coalesce(
-                1
-            ).write.mode("append").parquet(lineage_path)
+            _append_lineage_rows(lin_rows, lineage_path, run_id, pass_num)
         n_total = sum(int(r["row_count"]) for r in lin_rows)
         n_bad = sum(int(r["failure_count"]) for r in lin_rows)
         if n_total == 0:

@@ -91,18 +91,98 @@ def _extract_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
+def _extract_batches_arrow(it):
+    """mapInArrow kernel: pyarrow RecordBatch in/out — skips the pandas
+    object-column round trip (list-of-struct spans are expensive to carry
+    through pandas; building the Arrow ListArray directly is cheaper)."""
+    import pyarrow as pa
+    from pyspark import TaskContext
+
+    from gemini_ocr_batch_spark.kernels import extract_document
+
+    tc = TaskContext.get()
+    pid = tc.partitionId() if tc is not None else -1
+    span_type = pa.list_(
+        pa.struct(
+            [
+                pa.field("start", pa.int64(), nullable=False),
+                pa.field("end", pa.int64(), nullable=False),
+                pa.field("kind", pa.string(), nullable=False),
+            ]
+        )
+    )
+    for batch in it:
+        t0 = time.perf_counter_ns()
+        urls = batch.column("url").to_pylist()
+        blobs = batch.column("html").to_pylist()
+        texts, spans, kinds, errs, nbytes = [], [], [], [], []
+        for url, blob in zip(urls, blobs):
+            text, sp, kind, err = extract_document(blob, url)
+            texts.append(text)
+            spans.append(
+                None
+                if sp is None
+                else [{"start": s, "end": e, "kind": k} for s, e, k in sp]
+            )
+            kinds.append(kind)
+            errs.append(err)
+            nbytes.append(len(blob) if blob is not None else 0)
+        elapsed = time.perf_counter_ns() - t0
+        n = max(1, batch.num_rows)
+        yield pa.record_batch(
+            [
+                batch.column("url"),
+                batch.column("warc_ts"),
+                pa.array(texts, pa.string()),
+                pa.array(spans, span_type),
+                pa.array(kinds, pa.string()),
+                pa.array([EXTRACTOR_VERSION] * n, pa.string()),
+                pa.array(errs, pa.string()),
+                pa.array([pid] * n, pa.int32()),
+                pa.array(nbytes, pa.int64()),
+                pa.array([elapsed // n] * n, pa.int64()),
+            ],
+            names=[
+                "url", "warc_ts", "extracted_text", "spans", "content_kind",
+                "extractor_version", "error_type", "partition_id",
+                "bytes_in", "kernel_ns",
+            ],
+        )
+
+
 def extract_pages(
     pages: DataFrame,
     n_partitions: int | None = None,
-    salt: bool = True,
+    salt: bool | str = "auto",
+    use_arrow: bool = False,
 ) -> DataFrame:
     """pages(url, warc_ts, html, ...) → extracted rows (EXTRACTED_SCHEMA).
 
-    Column-prunes to exactly the three columns the kernel needs before the
+    Column-prunes to exactly the three columns the kernel needs before any
     shuffle, so `text`/`lang` never move.
+
+    ``salt`` policy — the blob column is the expensive thing to move, so
+    the shuffle must pay for itself:
+    - "auto" (default): salt only when the source partitioning cannot
+      feed the target parallelism. A size-bounded file scan (parquet
+      splits ≤ spark.sql.files.maxPartitionBytes) already bounds per-task
+      byte work, so a well-split table skips the blob shuffle entirely
+      (measured 2× kernel-stage throughput); a coarse source (few huge
+      splits, or a collapsed post-join frontier) gets the full salted
+      repartition.
+    - True: always salt (pathological co-location, non-splittable blobs).
+    - False: never (streaming frames, pre-partitioned input).
     """
     slim = pages.select("url", "warc_ts", "html")
+    parts = n_partitions or pages.sparkSession.sparkContext.defaultParallelism
+    if salt == "auto":
+        try:
+            src_parts = slim.rdd.getNumPartitions()
+        except Exception:  # streaming frames have no rdd
+            src_parts = parts
+        salt = src_parts < max(2, parts // 2)
     if salt:
-        parts = n_partitions or pages.sparkSession.sparkContext.defaultParallelism
         slim = salt_by_size(slim, parts)
+    if use_arrow:
+        return slim.mapInArrow(_extract_batches_arrow, schema=EXTRACTED_SCHEMA)
     return slim.mapInPandas(_extract_batches, schema=EXTRACTED_SCHEMA)

@@ -47,7 +47,11 @@ def get_spark(
             "spark.sql.execution.arrow.maxRecordsPerBatch",
             str(ARROW_MAX_RECORDS_PER_BATCH),
         )
-        .config("spark.sql.files.maxPartitionBytes", "64m")
+        # split size tuned to the extraction kernel's CPU cost (~3 MB/s/core
+        # of html), not to I/O: 8 MB splits → ~2-3 s tasks, per-task byte
+        # work bounded (skew), and a modest table still feeds every core
+        # without shuffling the blob column (extract_pages salt="auto")
+        .config("spark.sql.files.maxPartitionBytes", "8m")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
