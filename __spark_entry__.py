@@ -596,6 +596,29 @@ def _q_sessionize(spark, sf_dir):
     )
 
 
+
+def _q_slug(spark, sf_dir):
+    # F3: slugify (lower, non-alnum→'-', collapse, trim) — reference:
+    # src/flow.py:43-47.
+    p = _t(spark, sf_dir, "part")
+    slug = F.regexp_replace(
+        F.regexp_replace(F.lower(F.col("p_name")), "[^a-z0-9]+", "-"),
+        "^-+|-+$",
+        "",
+    )
+    return p.select("p_partkey", slug.alias("slug")).orderBy("p_partkey")
+
+
+def _q_iso_format(spark, sf_dir):
+    # F14: ISO timestamp formatting — reference:
+    # scripts/analyze_failures.py:183.
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss").alias("ts_iso"),
+    ).orderBy("event_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # flagship + engine ops
@@ -607,6 +630,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_filter": _q_range_filter,
         "shape_predicate": _q_shape_predicate,
         "key_format_parse": _q_key_format_parse,
+        "slug": _q_slug,
+        "iso_format": _q_iso_format,
         # joins / windows (J*/W*)
         "dependency_lag": _q_dependency_lag,
         "lag_context": _q_lag_context,
@@ -765,6 +790,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT key,
                    CAST(string_split(key, ':')[2] AS INT) AS nation_parsed
             FROM keyed ORDER BY key
+        """,
+        "slug": """
+            SELECT p_partkey,
+                   regexp_replace(regexp_replace(lower(p_name),
+                       '[^a-z0-9]+', '-', 'g'), '^-+|-+$', '', 'g') AS slug
+            FROM part ORDER BY p_partkey
+        """,
+        "iso_format": """
+            SELECT event_id, strftime(ts, '%Y-%m-%dT%H:%M:%S') AS ts_iso
+            FROM events ORDER BY event_id
         """,
         "dependency_lag": """
             SELECT user_id, event_id,

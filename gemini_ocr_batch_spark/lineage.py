@@ -45,7 +45,3 @@ def lineage_rows(extracted: DataFrame, run_id: str, pass_num: int) -> DataFrame:
         )
     )
 
-
-def append_lineage(extracted: DataFrame, run_id: str, pass_num: int,
-                   path: str) -> None:
-    lineage_rows(extracted, run_id, pass_num).write.mode("append").parquet(path)
