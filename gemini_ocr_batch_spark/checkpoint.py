@@ -172,3 +172,81 @@ class ParquetCheckpointStore:
             .agg(F.count(F.lit(1)).alias("n"))
             .orderBy("status")
         )
+
+
+def iceberg_available(spark: SparkSession, catalog: str = "spark_catalog") -> bool:
+    """True when an Iceberg catalog is on the classpath+conf."""
+    impl = spark.conf.get(f"spark.sql.catalog.{catalog}", None)
+    return impl is not None and "iceberg" in str(impl).lower()
+
+
+class IcebergCheckpointStore:
+    """Iceberg backend: the same narrow API over a real MERGE INTO.
+
+    This is the cluster-scale path named by the north_rule ("Iceberg
+    checkpoint table keyed by (url, warc_ts)"): snapshot-isolated commits,
+    no directory-swap dance, and the MERGE rewrites only the data files
+    containing matched keys (bucket the table by url so those are few).
+    No Iceberg jar ships in this sandbox, so construction raises unless
+    ``iceberg_available`` — the Parquet store is the drop-in twin
+    (reference analog: the SQLite/in-memory store duality,
+    src/prefect_state.py:19 vs :285).
+    """
+
+    def __init__(self, spark: SparkSession, table: str,
+                 max_retries: int = 3) -> None:
+        if not iceberg_available(spark):
+            raise RuntimeError(
+                "no Iceberg catalog configured; use ParquetCheckpointStore"
+            )
+        self.spark = spark
+        self.table = table
+        self.max_retries = max_retries
+        spark.sql(
+            f"""CREATE TABLE IF NOT EXISTS {table} (
+                    url STRING, warc_ts TIMESTAMP, status STRING,
+                    attempts INT, last_error STRING, updated_at TIMESTAMP
+                ) USING iceberg
+                PARTITIONED BY (bucket(256, url))"""
+        )
+
+    def read(self, spark: SparkSession | None = None) -> DataFrame:
+        return self.spark.read.table(self.table)
+
+    def pending(self, pages: DataFrame) -> DataFrame:
+        done = self.read().filter(
+            F.col("status").isin(STATUS_SUCCESS, STATUS_DEAD)
+        ).select(*KEY)
+        return pages.join(done, on=KEY, how="left_anti")
+
+    def merge_results(self, extracted: DataFrame) -> None:
+        extracted.select("url", "warc_ts", "error_type").createOrReplaceTempView(
+            "_ckpt_delta"
+        )
+        self.spark.sql(
+            f"""MERGE INTO {self.table} t
+                USING _ckpt_delta s
+                ON t.url = s.url AND t.warc_ts = s.warc_ts
+                WHEN MATCHED AND s.error_type IS NULL THEN UPDATE SET
+                    t.status = '{STATUS_SUCCESS}',
+                    t.updated_at = current_timestamp()
+                WHEN MATCHED THEN UPDATE SET
+                    t.status = CASE WHEN t.attempts + 1 >= {self.max_retries}
+                                    THEN '{STATUS_DEAD}'
+                                    ELSE '{STATUS_FAILED}' END,
+                    t.attempts = t.attempts + 1,
+                    t.last_error = s.error_type,
+                    t.updated_at = current_timestamp()
+                WHEN NOT MATCHED THEN INSERT (
+                    url, warc_ts, status, attempts, last_error, updated_at
+                ) VALUES (
+                    s.url, s.warc_ts,
+                    CASE WHEN s.error_type IS NULL THEN '{STATUS_SUCCESS}'
+                         WHEN 1 >= {self.max_retries} THEN '{STATUS_DEAD}'
+                         ELSE '{STATUS_FAILED}' END,
+                    1, s.error_type, current_timestamp()
+                )"""
+        )
+
+    def dead_letters(self, spark: SparkSession | None = None) -> DataFrame:
+        return self.read().filter(F.col("status") == STATUS_DEAD)
