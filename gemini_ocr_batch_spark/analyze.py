@@ -24,7 +24,7 @@ from gemini_ocr_batch_spark.checkpoint import KEY, ParquetCheckpointStore
 def _domain(col):
     """url → host (the analog of the reference's key→state parse,
     scripts/analyze_failures.py:85-113)."""
-    return F.regexp_extract(col, r"^[a-z]+://([^/]+)/", 1)
+    return F.regexp_extract(col, r"^(?i)[a-z]+://([^/]+)", 1)
 
 
 def failure_report(failures: DataFrame) -> dict[str, DataFrame]:
@@ -77,7 +77,7 @@ def clear_failures(store: ParquetCheckpointStore, spark: SparkSession,
 
 def nuke(out_dir: str) -> None:
     """Truncate-all (M7): drop every state/output directory."""
-    for sub in ("extracted", "checkpoint", "lineage", "failures"):
+    for sub in ("extracted_all", "checkpoint", "lineage", "failures"):
         shutil.rmtree(os.path.join(out_dir, sub), ignore_errors=True)
 
 

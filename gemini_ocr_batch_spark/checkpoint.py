@@ -103,8 +103,11 @@ class ParquetCheckpointStore:
         done = ckpt.filter(
             F.col("status").isin(STATUS_SUCCESS, STATUS_DEAD)
         ).select(*KEY)
-        # checkpoint is tiny relative to pages → broadcast the build side
-        return pages.join(F.broadcast(done), on=KEY, how="left_anti")
+        # join strategy is Catalyst's call: a small checkpoint broadcasts
+        # automatically (autoBroadcastJoinThreshold); at 10^9+ keys the done
+        # set is NOT broadcastable and must become a sort-merge join on the
+        # bucketed key — forcing F.broadcast here would OOM the driver
+        return pages.join(done, on=KEY, how="left_anti")
 
     def merge_results(self, extracted: DataFrame) -> None:
         """MERGE the outcome of one extraction pass into the checkpoint.
@@ -150,7 +153,11 @@ class ParquetCheckpointStore:
                 F.coalesce(F.col("new_error"), F.col("last_error")).alias(
                     "last_error"
                 ),
-                F.current_timestamp().alias("updated_at"),
+                F.when(
+                    F.col("new_status").isNotNull(), F.current_timestamp()
+                )
+                .otherwise(F.col("updated_at"))
+                .alias("updated_at"),
             )
         )
         self.overwrite(merged)

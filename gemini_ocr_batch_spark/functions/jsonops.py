@@ -29,9 +29,11 @@ def brace_rescue(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     start = F.instr(c, "{")
     # locate last '}' via reversed search (instr finds first occurrence)
-    end = F.length(c) - F.instr(F.reverse(c), "}") + 1
+    rev_pos = F.instr(F.reverse(c), "}")
+    end = F.length(c) - rev_pos + 1
     return F.when(
-        (start > 0) & (end >= start), F.substring(c, start, end - start + 1)
+        (start > 0) & (rev_pos > 0) & (end >= start),
+        F.substring(c, start, end - start + 1),
     ).otherwise(F.lit(None).cast("string"))
 
 

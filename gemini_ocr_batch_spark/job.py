@@ -129,7 +129,10 @@ def run_extraction_job(
         extracted = extract_pages(frontier, n_partitions=n_partitions)
         (
             extracted.withColumn("is_ok", F.col("error_type").isNull())
-            .write.partitionBy("is_ok")
+            .write.mode("overwrite")  # fixed-run_id rerun re-derives the
+            # identical pass (deterministic kernels + anti-join) — overwrite
+            # keeps the documented rerun-is-a-no-op contract
+            .partitionBy("is_ok")
             .parquet(staged_path)
         )
         # --- cheap derived jobs over the pass we just wrote ---

@@ -128,7 +128,8 @@ def _extract_batches_arrow(it):
             errs.append(err)
             nbytes.append(len(blob) if blob is not None else 0)
         elapsed = time.perf_counter_ns() - t0
-        n = max(1, batch.num_rows)
+        n = batch.num_rows  # constant columns must match row count exactly
+        per_row_ns = elapsed // max(1, n)
         yield pa.record_batch(
             [
                 batch.column("url"),
@@ -140,7 +141,7 @@ def _extract_batches_arrow(it):
                 pa.array(errs, pa.string()),
                 pa.array([pid] * n, pa.int32()),
                 pa.array(nbytes, pa.int64()),
-                pa.array([elapsed // n] * n, pa.int64()),
+                pa.array([per_row_ns] * n, pa.int64()),
             ],
             names=[
                 "url", "warc_ts", "extracted_text", "spans", "content_kind",

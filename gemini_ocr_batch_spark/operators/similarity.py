@@ -58,10 +58,12 @@ def brute_force_topk(
         F.col(id_col),
         cosine_col(F.col(vec_col).cast("array<double>"), q),
     )
-    w = Window.orderBy(F.desc("cosine"), F.col(id_col))
+    # TakeOrderedAndProject (per-partition top-k, merged) — a global
+    # un-partitioned row_number window would sort ALL rows in one task
+    top = scored.orderBy(F.desc("cosine"), F.col(id_col)).limit(k)
+    w = Window.orderBy(F.desc("cosine"), F.col(id_col))  # over k rows only
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+        top.withColumn("rank", F.row_number().over(w))
         .select(id_col, "rank", "cosine")
         .orderBy("rank")
     )
@@ -116,10 +118,12 @@ def lsh_topk(
         with_bucket.filter(F.col("bucket") == qb)
         .select(F.col(id_col), cosine_col(F.col("v"), q))
     )
-    w = Window.orderBy(F.desc("cosine"), F.col(id_col))
+    # TakeOrderedAndProject (per-partition top-k, merged) — a global
+    # un-partitioned row_number window would sort ALL rows in one task
+    top = scored.orderBy(F.desc("cosine"), F.col(id_col)).limit(k)
+    w = Window.orderBy(F.desc("cosine"), F.col(id_col))  # over k rows only
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+        top.withColumn("rank", F.row_number().over(w))
         .select(id_col, "rank", "cosine")
         .orderBy("rank")
     )

@@ -124,7 +124,6 @@ def _session_fn(
     if state.exists:
         start, last, n = state.get
     else:
-        start = last = None, 0  # placeholder replaced below
         start, last, n = None, None, 0
     out_rows = []
     gap_us = SESSION_GAP_SEC * 1_000_000

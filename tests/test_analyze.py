@@ -72,9 +72,9 @@ def test_clear_failures_and_nuke(spark, tmp_path):
     n2 = clear_failures(store, spark)
     assert n2 == 1
     out = tmp_path / "o"
-    (out / "extracted").mkdir(parents=True)
+    (out / "extracted_all").mkdir(parents=True)
     nuke(str(out))
-    assert not (out / "extracted").exists()
+    assert not (out / "extracted_all").exists()
 
 
 def test_export_csv(spark, failures_df, tmp_path):

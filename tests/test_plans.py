@@ -49,10 +49,24 @@ def test_ordered_limit_avoids_global_sort(spark, sf_dir):
     assert uses_take_ordered(QS["recency_limit"](spark, sf_dir))
 
 
-def test_checkpoint_pending_reads_keys_only(spark, pages_df, tmp_path):
+def test_checkpoint_pending_broadcasts_small_snapshot(spark, pages_df, tmp_path):
+    """With a real (small) checkpoint snapshot, parquet stats drive a
+    static broadcast for the resume anti-join. (The join is deliberately
+    NOT force-broadcast: at 10^9+ keys it must become a sort-merge join —
+    an empty/huge build side is Catalyst's call, assisted by AQE.)"""
+    import datetime as dt
+
     from gemini_ocr_batch_spark.checkpoint import ParquetCheckpointStore
 
     store = ParquetCheckpointStore(str(tmp_path / "ck"))
+    ts = dt.datetime(2024, 1, 1)
+    store.overwrite(
+        spark.createDataFrame(
+            [("https://x/1", ts, "success", 1, None, ts)],
+            "url string, warc_ts timestamp, status string, attempts int, "
+            "last_error string, updated_at timestamp",
+        )
+    )
     df = store.pending(pages_df)
     assert uses_broadcast_join(df, "LeftAnti")
 
