@@ -99,14 +99,19 @@ class ParquetCheckpointStore:
         drop dead-lettered): pages ⟕̸ checkpoint[status ∈ {success, dead}].
         Key-only anti-join — the blob column never enters the join.
         """
-        ckpt = self.read(pages.sparkSession)
-        done = ckpt.filter(
+        # fresh store: no join at all — an empty LocalRelation build side
+        # has no stats, and a statically-planned SMJ would shuffle the
+        # entire blob table for nothing
+        if self._current_version() is None:
+            return pages
+        done = self.read(pages.sparkSession).filter(
             F.col("status").isin(STATUS_SUCCESS, STATUS_DEAD)
         ).select(*KEY)
-        # join strategy is Catalyst's call: a small checkpoint broadcasts
-        # automatically (autoBroadcastJoinThreshold); at 10^9+ keys the done
-        # set is NOT broadcastable and must become a sort-merge join on the
-        # bucketed key — forcing F.broadcast here would OOM the driver
+        # join strategy is Catalyst's call: a small parquet snapshot has
+        # stats and broadcasts automatically (autoBroadcastJoinThreshold);
+        # at 10^9+ keys the done set is NOT broadcastable and must become a
+        # sort-merge join on the bucketed key — forcing F.broadcast here
+        # would OOM the driver
         return pages.join(done, on=KEY, how="left_anti")
 
     def merge_results(self, extracted: DataFrame) -> None:
