@@ -619,6 +619,38 @@ def _q_iso_format(spark, sf_dir):
     ).orderBy("event_id")
 
 
+
+def _q_pivot(spark, sf_dir):
+    # pivot: returnflag × linestatus quantity matrix (Catalyst built-in).
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")))
+        .select(
+            "l_returnflag",
+            F.col("O").cast("double").alias("qty_o"),
+            F.col("F").cast("double").alias("qty_f"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def _q_rollup(spark, sf_dir):
+    # rollup: subtotals + grand total over (priority, status).
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderpriority", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("prio"),
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            "n",
+        )
+        .orderBy("prio", "status")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # flagship + engine ops
@@ -645,6 +677,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_group": _q_topk_per_group,
         "distinct_stats": _q_distinct_stats,
         "pricing_summary": _q_pricing_summary,
+        "pivot_matrix": _q_pivot,
+        "rollup_totals": _q_rollup,
         "case_mapping": _q_case_mapping,
         # sorts/limits/set ops (L*/SO*)
         "ordered_limit": _q_ordered_limit,
@@ -907,6 +941,23 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
             GROUP BY l_returnflag, l_linestatus
             ORDER BY l_returnflag, l_linestatus
+        """,
+        "pivot_matrix": """
+            SELECT l_returnflag,
+                   CAST(sum(CASE WHEN l_linestatus = 'O'
+                        THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE)
+                     AS qty_o,
+                   CAST(sum(CASE WHEN l_linestatus = 'F'
+                        THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE)
+                     AS qty_f
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "rollup_totals": """
+            SELECT coalesce(o_orderpriority, 'ALL') AS prio,
+                   coalesce(o_orderstatus, 'ALL') AS status,
+                   count(*) AS n
+            FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+            ORDER BY prio, status
         """,
         "star_join": """
             SELECT r_name, count(*) AS n_orders,
