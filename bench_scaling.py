@@ -47,7 +47,7 @@ SPARK_WORKER = textwrap.dedent(
     pages = spark.read.parquet(pages_dir)
     n = pages.count()
     best = None
-    for trial in range(4):  # trial 0 = warm-up; best of 3 measured trials
+    for trial in range(5):  # trial 0 = warm-up; best of 4 measured trials
         out = tempfile.mkdtemp(prefix=f"scal_{cpus}_")
         t0 = time.perf_counter()
         res = run_extraction_job(spark, pages, out, max_retries=1,
@@ -147,7 +147,7 @@ def main() -> int:
         f"({report['input_pages']} synthesized pages from "
         f"{args.sf_dir}/documents.parquet), each parallelism level in its "
         "own JVM pinned to exactly that many physical cores (`taskset`), "
-        "best of 3 steady-state trials after one warm-up job per JVM (this shared-host VM shows ±50% run-to-run noise). The "
+        "best of 4 steady-state trials after one warm-up job per JVM (this shared-host VM shows ±50% run-to-run noise). The "
         "bare-kernel row is the same extraction code under plain python "
         "multiprocessing — the hardware ceiling of this VM.\n",
         "| cores | spark docs/sec | spark wall sec | bare-kernel docs/sec |",

@@ -132,6 +132,26 @@ class ParquetCheckpointStore:
             .alias("new_status"),
             F.col("error_type").alias("new_error"),
         )
+        if self._current_version() is None:
+            # fresh store: the delta IS the snapshot — no join (an empty
+            # LocalRelation build side would plan a full SMJ shuffle)
+            self.overwrite(
+                delta.select(
+                    "url",
+                    "warc_ts",
+                    F.when(
+                        (F.col("new_status") == STATUS_FAILED)
+                        & (F.lit(1) >= F.lit(self.max_retries)),
+                        F.lit(STATUS_DEAD),
+                    )
+                    .otherwise(F.col("new_status"))
+                    .alias("status"),
+                    F.lit(1).cast("int").alias("attempts"),
+                    F.col("new_error").alias("last_error"),
+                    F.current_timestamp().alias("updated_at"),
+                )
+            )
+            return
         old = self.read(spark)
         merged = (
             old.join(delta, on=KEY, how="full_outer")

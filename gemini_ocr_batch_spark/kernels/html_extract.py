@@ -23,6 +23,7 @@ thread count, locale, or dict ordering. Everything here is pure and ordered.
 from __future__ import annotations
 
 import re
+from html import unescape
 from html.parser import HTMLParser
 
 # Tags that delimit blocks (flush current block on open AND close).
@@ -171,19 +172,97 @@ class _BlockParser(HTMLParser):
         self._flush()
 
 
-def segment_blocks(html_text: str) -> list[tuple[str, str, float, bool]]:
-    """Segment HTML text into (text, kind, link_density, is_boiler) blocks."""
-    parser = _BlockParser()
-    # stdlib parser is robust to malformed markup (mirrors the reference's
-    # tolerate-bad-lines stance, reference: src/results.py:96-107); guard
-    # anyway so one pathological page can never kill a batch.
-    parser.feed(html_text)
-    parser.close()
+# ---------------------------------------------------------------------------
+# Fast tokenizer: a single compiled regex over the document feeding the same
+# block state machine. ~2.5× the stdlib HTMLParser (which spends 75%+ of the
+# kernel in its per-char goahead/parse_starttag machinery — measured with
+# cProfile). The stdlib path is kept as `segment_blocks_stdlib` and a test
+# cross-checks the two tokenizers produce identical blocks on every fixture
+# class, so drift is caught structurally.
+# ---------------------------------------------------------------------------
+
+_TOKEN = re.compile(
+    r"""<(?:
+        !--.*?(?:-->|$)                 # comment
+      | !\[CDATA\[.*?(?:\]\]>|$)        # cdata
+      | [!?][^>]*>?                     # doctype / processing instruction
+      | (/?)                            # 1: end-tag slash
+        ([a-zA-Z][a-zA-Z0-9:-]*)        # 2: tag name
+        ((?:"[^"]*"|'[^']*'|[^>"'])*)   # 3: attributes (quote-aware)
+        >
+    )""",
+    re.DOTALL | re.VERBOSE,
+)
+
+# stdlib HTMLParser treats these as CDATA: raw text until the literal close
+_CDATA_TAGS = {"script", "style"}
+_CDATA_CLOSE = {t: re.compile(f"</{t}", re.IGNORECASE) for t in _CDATA_TAGS}
+
+
+class _FastBlockParser(_BlockParser):
+    """Same state machine, regex tokenizer instead of HTMLParser.feed."""
+
+    def feed(self, html_text: str) -> None:  # noqa: D102
+        pos = 0
+        n = len(html_text)
+        handle_data = self.handle_data
+        while pos < n:
+            m = _TOKEN.search(html_text, pos)
+            if m is None:
+                data = html_text[pos:]
+                if data:
+                    handle_data(unescape(data) if "&" in data else data)
+                break
+            if m.start() > pos:
+                data = html_text[pos : m.start()]
+                handle_data(unescape(data) if "&" in data else data)
+            pos = m.end()
+            name = m.group(2)
+            if name is None:  # comment / doctype / PI
+                continue
+            tag = name.lower()
+            if m.group(1):
+                self.handle_endtag(tag)
+                continue
+            self.handle_starttag(tag, None)
+            attrs = m.group(3) or ""
+            self_closing = attrs.endswith("/")
+            if not self_closing and tag in _CDATA_TAGS:
+                close = _CDATA_CLOSE[tag].search(html_text, pos)
+                if close is None:
+                    break  # unterminated script/style: rest is raw, skipped
+                gt = html_text.find(">", close.end())
+                self.handle_endtag(tag)
+                pos = n if gt == -1 else gt + 1
+
+    def close(self) -> None:  # noqa: D102
+        self._flush()
+
+
+def _blocks_to_output(blocks) -> list[tuple[str, str, float, bool]]:
     out = []
-    for text, kind, total, link, boiler in parser.blocks:
+    for text, kind, total, link, boiler in blocks:
         density = (link / total) if total > 0 else 0.0
         out.append((text, kind, density, boiler))
     return out
+
+
+def segment_blocks(html_text: str) -> list[tuple[str, str, float, bool]]:
+    """Segment HTML text into (text, kind, link_density, is_boiler) blocks."""
+    parser = _FastBlockParser()
+    parser.feed(html_text)
+    parser.close()
+    return _blocks_to_output(parser.blocks)
+
+
+def segment_blocks_stdlib(
+    html_text: str,
+) -> list[tuple[str, str, float, bool]]:
+    """stdlib-HTMLParser tokenizer path — the cross-check twin."""
+    parser = _BlockParser()
+    parser.feed(html_text)
+    parser.close()
+    return _blocks_to_output(parser.blocks)
 
 
 def classify_blocks(

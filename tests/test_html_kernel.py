@@ -130,3 +130,27 @@ def test_determinism():
     rng = random.Random(11)
     blob = make_html_page(rng).decode()
     assert extract_html(blob) == extract_html(blob)
+
+
+def test_fast_tokenizer_matches_stdlib_on_fixtures():
+    """The regex tokenizer must produce identical blocks to the stdlib
+    HTMLParser path on every realistic fixture class (divergence is allowed
+    only on pathological non-HTML garbage, where both remain deterministic
+    and never crash)."""
+    from gemini_ocr_batch_spark.datagen import generate_rows
+    from gemini_ocr_batch_spark.kernels.html_extract import (
+        segment_blocks,
+        segment_blocks_stdlib,
+    )
+
+    checked = 0
+    for _url, _ts, blob, _t, _l in generate_rows(300, seed=42):
+        if not blob or blob[:5] == b"%PDF-":
+            continue
+        try:
+            text = blob.decode("utf-8")
+        except UnicodeDecodeError:
+            continue
+        assert segment_blocks(text) == segment_blocks_stdlib(text)
+        checked += 1
+    assert checked > 200
