@@ -1118,10 +1118,10 @@ def oracle_sql() -> dict[str, str]:
             ),
             sessions AS (
               SELECT user_id, ts,
-                     sum(new_session) OVER (PARTITION BY user_id
-                                            ORDER BY ts, event_id
-                                            ROWS UNBOUNDED PRECEDING)
-                       AS session_id
+                     CAST(sum(new_session) OVER (PARTITION BY user_id
+                                                 ORDER BY ts, event_id
+                                                 ROWS UNBOUNDED PRECEDING)
+                          AS BIGINT) AS session_id
               FROM gapped
             )
             SELECT user_id, session_id,

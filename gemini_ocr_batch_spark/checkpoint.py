@@ -26,6 +26,8 @@ from __future__ import annotations
 
 import os
 import shutil
+import time
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -34,16 +36,33 @@ from gemini_ocr_batch_spark.schemas import (
     CHECKPOINT_SCHEMA,
     STATUS_DEAD,
     STATUS_FAILED,
+    STATUS_PENDING,
+    STATUS_RUNNING,
     STATUS_SUCCESS,
 )
 
 _CURRENT = "_CURRENT"
+_UNSET = object()  # sentinel: flip without a CAS check
 
 KEY = ["url", "warc_ts"]
 
 
+class CheckpointConflict(RuntimeError):
+    """Another writer advanced the checkpoint mid-merge (lost-update guard)."""
+
+
 class ParquetCheckpointStore:
-    """Atomic snapshot-swap checkpoint over plain Parquet."""
+    """Atomic snapshot-swap checkpoint over plain Parquet.
+
+    Concurrency contract: SINGLE WRITER. The store does not serialize
+    concurrent merges — it *fences* them: every merge records the snapshot
+    version it read, and the pointer flip is a compare-and-swap that raises
+    :class:`CheckpointConflict` if another writer flipped first. The losing
+    merge's snapshot dir is left unreferenced (GC'd by vacuum) and no delta
+    is silently dropped — the caller retries the merge from the new base.
+    (The reference serializes writers in SQLite instead,
+    reference: src/database.py:128-145.)
+    """
 
     def __init__(self, root: str, max_retries: int = 3) -> None:
         self.root = root
@@ -59,17 +78,48 @@ class ParquetCheckpointStore:
             name = f.read().strip()
         return name or None
 
-    def _flip(self, new_version: str) -> None:
+    def _flip(self, new_version: str, expect=_UNSET) -> None:
+        """Atomically point _CURRENT at ``new_version``.
+
+        With ``expect`` set (a version name or None-for-fresh), this is a
+        compare-and-swap under a short-lived exclusive lock file: if the
+        pointer no longer equals ``expect``, raise CheckpointConflict
+        instead of silently discarding the other writer's merge.
+        """
         ptr = os.path.join(self.root, _CURRENT)
-        tmp = ptr + ".tmp"
-        with open(tmp, "w", encoding="utf-8") as f:
-            f.write(new_version)
-        os.replace(tmp, ptr)  # atomic on POSIX
+        lock = ptr + ".lock"
+        fd = None
+        for _ in range(500):  # the critical section is microseconds
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                break
+            except FileExistsError:
+                time.sleep(0.005)
+        if fd is None:
+            raise CheckpointConflict(
+                f"could not acquire {lock}; stale lock from a dead writer?"
+            )
+        try:
+            if expect is not _UNSET and self._current_version() != expect:
+                raise CheckpointConflict(
+                    f"checkpoint advanced past {expect!r} during merge; "
+                    "re-read and retry"
+                )
+            tmp = ptr + f".tmp.{os.getpid()}"
+            with open(tmp, "w", encoding="utf-8") as f:
+                f.write(new_version)
+            os.replace(tmp, ptr)  # atomic on POSIX
+        finally:
+            os.close(fd)
+            os.unlink(lock)
 
     def _next_version(self) -> str:
         cur = self._current_version()
         n = int(cur.split("_")[1]) + 1 if cur else 1
-        return f"v_{n:08d}"
+        # uuid suffix: concurrent writers racing to the same ordinal write
+        # distinct snapshot dirs — the loser's is unreferenced, never a
+        # half-clobbered winner
+        return f"v_{n:08d}_{uuid.uuid4().hex[:8]}"
 
     def vacuum(self, keep: int = 2) -> None:
         """Drop all but the newest ``keep`` snapshot dirs (GC, safe anytime)."""
@@ -124,6 +174,9 @@ class ParquetCheckpointStore:
         src/scanner.py:87-88).
         """
         spark = extracted.sparkSession
+        base = self._current_version()  # CAS base: the snapshot this merge
+        # is derived from — _flip(expect=base) raises CheckpointConflict if
+        # another writer advanced the pointer meanwhile (lost-update guard)
         delta = extracted.select(
             "url",
             "warc_ts",
@@ -132,7 +185,7 @@ class ParquetCheckpointStore:
             .alias("new_status"),
             F.col("error_type").alias("new_error"),
         )
-        if self._current_version() is None:
+        if base is None:
             # fresh store: the delta IS the snapshot — no join (an empty
             # LocalRelation build side would plan a full SMJ shuffle)
             self.overwrite(
@@ -149,10 +202,14 @@ class ParquetCheckpointStore:
                     F.lit(1).cast("int").alias("attempts"),
                     F.col("new_error").alias("last_error"),
                     F.current_timestamp().alias("updated_at"),
-                )
+                ),
+                expect=base,
             )
             return
-        old = self.read(spark)
+        # pin the read to the CAS base so derive-base == check-base exactly
+        old = spark.read.schema(CHECKPOINT_SCHEMA).parquet(
+            os.path.join(self.root, base)
+        )
         merged = (
             old.join(delta, on=KEY, how="full_outer")
             .select(
@@ -185,13 +242,65 @@ class ParquetCheckpointStore:
                 .alias("updated_at"),
             )
         )
-        self.overwrite(merged)
+        self.overwrite(merged, expect=base)
 
-    def overwrite(self, snapshot: DataFrame) -> None:
+    def mark_running(self, keys: DataFrame) -> None:
+        """Stamp frontier keys as inflight (status=running) at pass start.
+
+        Visibility analog of the reference's inflight marking (reference:
+        src/prefect_state.py:335-346): a second operator/monitor can see
+        which keys a live run owns. Deliberately WITHOUT lease semantics —
+        ``pending`` still returns running keys, so a crashed run never
+        strands work; the subsequent ``merge_results`` transitions them to
+        success/failed/dead. Costs one snapshot rewrite — opt-in from the
+        job (track_inflight=True).
+        """
+        spark = keys.sparkSession
+        base = self._current_version()
+        delta = keys.select(*KEY).withColumn("_inflight", F.lit(1))
+        if base is None:
+            self.overwrite(
+                delta.select(
+                    "url",
+                    "warc_ts",
+                    F.lit(STATUS_RUNNING).alias("status"),
+                    F.lit(0).cast("int").alias("attempts"),
+                    F.lit(None).cast("string").alias("last_error"),
+                    F.current_timestamp().alias("updated_at"),
+                ),
+                expect=base,
+            )
+            return
+        old = spark.read.schema(CHECKPOINT_SCHEMA).parquet(
+            os.path.join(self.root, base)
+        )
+        merged = old.join(delta, on=KEY, how="full_outer").select(
+            "url",
+            "warc_ts",
+            F.when(
+                F.col("_inflight").isNotNull()
+                & ~F.coalesce(F.col("status"), F.lit(STATUS_PENDING)).isin(
+                    STATUS_SUCCESS, STATUS_DEAD
+                ),
+                F.lit(STATUS_RUNNING),
+            )
+            .otherwise(F.coalesce(F.col("status"), F.lit(STATUS_RUNNING)))
+            .alias("status"),
+            F.coalesce(F.col("attempts"), F.lit(0)).cast("int").alias(
+                "attempts"
+            ),
+            F.col("last_error"),
+            F.when(F.col("_inflight").isNotNull(), F.current_timestamp())
+            .otherwise(F.col("updated_at"))
+            .alias("updated_at"),
+        )
+        self.overwrite(merged, expect=base)
+
+    def overwrite(self, snapshot: DataFrame, expect=_UNSET) -> None:
         version = self._next_version()
         out = os.path.join(self.root, version)
         snapshot.write.mode("overwrite").parquet(out)
-        self._flip(version)
+        self._flip(version, expect=expect)
 
     def dead_letters(self, spark: SparkSession) -> DataFrame:
         """Keys retired after max_retries (reference: src/scanner.py:87-88)."""

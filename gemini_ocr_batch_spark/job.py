@@ -29,6 +29,7 @@ the reference's output-existence probe (reference: src/scanner.py:90-91).
 from __future__ import annotations
 
 import os
+import shutil
 import time
 import uuid
 
@@ -79,6 +80,53 @@ def _append_lineage_rows(rows, lineage_path: str, run_id: str,
     )
 
 
+# marker file dropped into a promoted pass dir once its keys are in the
+# checkpoint — the crash-recovery analog of the reference's output-existence
+# probe (reference: src/scanner.py:90-91)
+_MERGED = "_MERGED"
+
+
+def _touch(path: str) -> None:
+    with open(path, "w", encoding="utf-8"):
+        pass
+
+
+def _reconcile_orphans(
+    spark: SparkSession, store: ParquetCheckpointStore, all_path: str
+) -> int:
+    """Fold promoted-but-unmerged pass dirs into the checkpoint.
+
+    Closes the crash window between the staged write and the checkpoint
+    MERGE: without this, a rerun under a fresh run_id would re-extract
+    those keys and leave duplicates under two run_id dirs. Promotion is an
+    atomic rename, so any pass dir found here is complete; one lacking
+    ``_MERGED`` simply never had its keys merged. Merging is idempotent for
+    success keys; for failure keys a crash exactly between merge and marker
+    can double-count one attempt (biases toward earlier dead-letter, never
+    data loss). Returns the number of reconciled pass dirs.
+    """
+    n = 0
+    if not os.path.isdir(all_path):
+        return n
+    for run_dir in sorted(os.listdir(all_path)):
+        run_path = os.path.join(all_path, run_dir)
+        if not (run_dir.startswith("run_id=") and os.path.isdir(run_path)):
+            continue
+        for pass_dir in sorted(os.listdir(run_path)):
+            pass_path = os.path.join(run_path, pass_dir)
+            if not (
+                pass_dir.startswith("pass_num=") and os.path.isdir(pass_path)
+            ):
+                continue
+            if os.path.exists(os.path.join(pass_path, _MERGED)):
+                continue
+            staged = spark.read.schema(STAGED_SCHEMA).parquet(pass_path)
+            store.merge_results(staged.select("url", "warc_ts", "error_type"))
+            _touch(os.path.join(pass_path, _MERGED))
+            n += 1
+    return n
+
+
 class JobResult:
     def __init__(self) -> None:
         self.passes = 0
@@ -99,12 +147,17 @@ def run_extraction_job(
     max_retries: int = 3,
     n_partitions: int | None = None,
     run_id: str | None = None,
+    track_inflight: bool = False,
 ) -> JobResult:
     """Run extraction to completion (every key success or dead).
 
     Layout under ``out_dir``:
       extracted_all/  — ALL kernel output, written once per pass, under
-                        run_id=R/pass_num=N/is_ok=… hive paths
+                        run_id=R/pass_num=N/is_ok=… hive paths; pass dirs
+                        are immutable once promoted and carry a _MERGED
+                        marker once their keys are in the checkpoint
+      _staging/       — per-pass scratch (atomic-renamed into
+                        extracted_all when non-empty; wiped on job start)
       checkpoint/     — snapshot store (atomic pointer swap)
       lineage/        — per-partition metrics, append-only
       failures/       — typed failure rows, append-only (reference:
@@ -115,47 +168,86 @@ def run_extraction_job(
         os.path.join(out_dir, "checkpoint"), max_retries=max_retries
     )
     all_path = os.path.join(out_dir, "extracted_all")
+    staging_root = os.path.join(out_dir, "_staging")
     lineage_path = os.path.join(out_dir, "lineage")
     failures_path = os.path.join(out_dir, "failures")
 
     result = JobResult()
     t_start = time.perf_counter()
-    for pass_num in range(max_retries):
+    # crash recovery: drop half-written staging dirs (never promoted, never
+    # visible to readers), then fold promoted-but-unmerged passes into the
+    # checkpoint so the frontier excludes them (no re-extraction, no
+    # duplicate keys under two run_ids)
+    shutil.rmtree(staging_root, ignore_errors=True)
+    _reconcile_orphans(spark, store, all_path)
+    # a fixed-run_id rerun continues pass numbering after any passes the
+    # previous attempt already promoted — pass dirs are immutable once
+    # promoted, so a retry pass must never reuse (and replace) their paths
+    run_path = os.path.join(all_path, f"run_id={run_id}")
+    existing = [
+        int(d.split("=", 1)[1])
+        for d in (os.listdir(run_path) if os.path.isdir(run_path) else [])
+        if d.startswith("pass_num=")
+    ]
+    base_pass = max(existing) + 1 if existing else 0
+    for pass_num in range(base_pass, base_pass + max_retries):
         frontier = store.pending(pages)
+        if track_inflight:
+            # inflight visibility (reference: src/prefect_state.py:335-346);
+            # costs one snapshot rewrite per pass, so opt-in. Key columns
+            # only — the blob never enters the checkpoint job.
+            store.mark_running(frontier.select("url", "warc_ts"))
         # --- the one bulk job: kernel + single partitioned write ---
-        staged_path = os.path.join(
+        # Staged OUTSIDE extracted_all, promoted by atomic rename only when
+        # non-empty: a fixed-run_id rerun whose frontier is already empty
+        # (checkpoint advanced) must never overwrite a prior pass dir with
+        # an empty result — that was a data-loss bug, not a no-op.
+        final_path = os.path.join(
             all_path, f"run_id={run_id}", f"pass_num={pass_num}"
+        )
+        tmp_path = os.path.join(
+            staging_root, f"{run_id}-{pass_num}-{uuid.uuid4().hex[:8]}"
         )
         extracted = extract_pages(frontier, n_partitions=n_partitions)
         (
             extracted.withColumn("is_ok", F.col("error_type").isNull())
-            .write.mode("overwrite")  # fixed-run_id rerun re-derives the
-            # identical pass (deterministic kernels + anti-join) — overwrite
-            # keeps the documented rerun-is-a-no-op contract
+            .write.mode("overwrite")
             .partitionBy("is_ok")
-            .parquet(staged_path)
+            .parquet(tmp_path)
         )
         # --- cheap derived jobs over the pass we just wrote ---
-        staged = spark.read.schema(STAGED_SCHEMA).parquet(staged_path)
+        staged = spark.read.schema(STAGED_SCHEMA).parquet(tmp_path)
         # one tiny aggregate gives lineage rows AND the pass accounting;
         # collect it (≤ one row per physical partition) and append via a
         # direct driver-side pyarrow write — a Spark job for ≤64 rows costs
         # ~2 s of fixed scheduling/commit latency per pass
         lin_rows = lineage_rows(staged, run_id, pass_num).collect()
-        if lin_rows:
-            _append_lineage_rows(lin_rows, lineage_path, run_id, pass_num)
         n_total = sum(int(r["row_count"]) for r in lin_rows)
         n_bad = sum(int(r["failure_count"]) for r in lin_rows)
         if n_total == 0:
-            break  # empty frontier — the job is complete
+            # empty frontier — the job is complete; nothing to promote
+            shutil.rmtree(tmp_path, ignore_errors=True)
+            break
+        if lin_rows:
+            _append_lineage_rows(lin_rows, lineage_path, run_id, pass_num)
+        # promote: atomic rename into the readable layout. Pass dirs are
+        # immutable once promoted (base_pass skips existing ones; reconcile
+        # merged any unmarked ones), so the target cannot exist — os.rename
+        # fails loudly rather than ever replacing extracted data.
+        os.makedirs(os.path.dirname(final_path), exist_ok=True)
+        os.rename(tmp_path, final_path)
+        staged = spark.read.schema(STAGED_SCHEMA).parquet(final_path)
         # checkpoint MERGE reads only the 3 key/status columns
         store.merge_results(staged.select("url", "warc_ts", "error_type"))
+        _touch(os.path.join(final_path, _MERGED))
         if n_bad:
             # failure log: partition-pruned (is_ok=false) + column-pruned
             staged.filter(~F.col("is_ok")).select(
                 "url",
                 "warc_ts",
                 "error_type",
+                "error_message",
+                "input_sample",
                 F.lit(pass_num + 1).cast("int").alias("attempts"),
                 F.lit(run_id).alias("run_id"),
                 F.current_timestamp().alias("created_at"),
@@ -169,6 +261,7 @@ def run_extraction_job(
         # deterministic kernels: a retry of the same bytes fails identically,
         # so the loop exists for transient task-level faults; the anti-join
         # (success ∪ dead excluded) shrinks the frontier every pass.
+    shutil.rmtree(staging_root, ignore_errors=True)
     store.vacuum()
     result.wall_sec = time.perf_counter() - t_start
     return result

@@ -6,6 +6,10 @@ the Arrow-batched ``mapInPandas`` operator. Byte-identity between the two is
 the correctness gate (BASELINE.json north_rule).
 """
 
-from gemini_ocr_batch_spark.kernels.dispatch import extract_document, sniff_kind
+from gemini_ocr_batch_spark.kernels.dispatch import (
+    extract_document,
+    extract_document_detail,
+    sniff_kind,
+)
 
-__all__ = ["extract_document", "sniff_kind"]
+__all__ = ["extract_document", "extract_document_detail", "sniff_kind"]

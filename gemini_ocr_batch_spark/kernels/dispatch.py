@@ -49,30 +49,50 @@ def _decode_html(blob: bytes) -> str:
         return text
 
 
-def extract_document(
+def extract_document_detail(
     blob: bytes | None, url: str | None = None
-) -> tuple[str | None, list[tuple[int, int, str]] | None, str | None, str | None]:
-    """One document → (extracted_text, spans, content_kind, error_type).
+) -> tuple[
+    str | None,
+    list[tuple[int, int, str]] | None,
+    str | None,
+    str | None,
+    str | None,
+]:
+    """One document → (text, spans, content_kind, error_type, error_message).
 
-    Success: (text, spans, kind, None). Failure: (None, None, kind|None,
-    error_type). Never raises — the Spark task must survive any input
-    (reference contract: src/results.py:96-228).
+    Success: (text, spans, kind, None, None). Failure: (None, None,
+    kind|None, error_type, human-readable message). Never raises — the
+    Spark task must survive any input (reference contract:
+    src/results.py:96-228; the reference's failure log keeps the raw error
+    message alongside the typed code, src/prefect_state.py:245-282).
     """
     if blob is None or len(blob) == 0:
-        return None, None, None, _ERR_EMPTY
+        return None, None, None, _ERR_EMPTY, "empty or null document blob"
     kind = sniff_kind(blob, url)
     try:
         if kind == KIND_PDF:
             try:
                 text, spans = extract_pdf(blob)
-            except Exception:  # noqa: BLE001 - typed error row, never crash
-                return None, None, kind, _ERR_PDF
+            except Exception as exc:  # noqa: BLE001 - typed row, never crash
+                return None, None, kind, _ERR_PDF, repr(exc)
         else:
             try:
                 decoded = _decode_html(blob)
-            except ValueError:
-                return None, None, kind, _ERR_DECODE
+            except ValueError as exc:
+                return None, None, kind, _ERR_DECODE, repr(exc)
             text, spans = extract_html(decoded)
-        return text, spans, kind, None
-    except Exception:  # noqa: BLE001 - last-resort typed capture
-        return None, None, kind, _ERR_KERNEL
+        return text, spans, kind, None, None
+    except Exception as exc:  # noqa: BLE001 - last-resort typed capture
+        return None, None, kind, _ERR_KERNEL, repr(exc)
+
+
+def extract_document(
+    blob: bytes | None, url: str | None = None
+) -> tuple[str | None, list[tuple[int, int, str]] | None, str | None, str | None]:
+    """One document → (extracted_text, spans, content_kind, error_type).
+
+    Thin wrapper over :func:`extract_document_detail` that drops the
+    error message — the golden-oracle/byte-identity surface.
+    """
+    text, spans, kind, err, _msg = extract_document_detail(blob, url)
+    return text, spans, kind, err

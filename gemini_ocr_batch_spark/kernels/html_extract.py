@@ -226,8 +226,18 @@ class _FastBlockParser(_BlockParser):
                 continue
             self.handle_starttag(tag, None)
             attrs = m.group(3) or ""
-            self_closing = attrs.endswith("/")
-            if not self_closing and tag in _CDATA_TAGS:
+            # XHTML self-closing: stdlib HTMLParser routes these through
+            # handle_startendtag (start + end). The trailing "/" only counts
+            # when it is NOT part of an unquoted attribute value — stdlib
+            # parses <div id=x/> as start-only with value "x/", but
+            # <svg viewBox="0 0 1 1"/> and <iframe/> as start+end.
+            self_closing = attrs.endswith("/") and (
+                len(attrs) == 1 or attrs[-2] in " \t\n\r\f\"'"
+            )
+            if self_closing:
+                self.handle_endtag(tag)
+                continue
+            if tag in _CDATA_TAGS:
                 close = _CDATA_CLOSE[tag].search(html_text, pos)
                 if close is None:
                     break  # unterminated script/style: rest is raw, skipped

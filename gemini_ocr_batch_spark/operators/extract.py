@@ -24,6 +24,9 @@ from pyspark.sql import functions as F
 from gemini_ocr_batch_spark import EXTRACTOR_VERSION
 from gemini_ocr_batch_spark.schemas import EXTRACTED_SCHEMA
 
+# bytes of raw input kept on failure rows for forensics
+_SAMPLE_BYTES = 240
+
 
 def salt_by_size(pages: DataFrame, n_partitions: int, n_salt: int = 64) -> DataFrame:
     """Repartition by (log2-size bucket, salted url hash).
@@ -52,16 +55,17 @@ def _extract_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     # late imports: executed on the Python worker
     from pyspark import TaskContext
 
-    from gemini_ocr_batch_spark.kernels import extract_document
+    from gemini_ocr_batch_spark.kernels import extract_document_detail
 
     tc = TaskContext.get()
     pid = tc.partitionId() if tc is not None else -1
     for pdf in it:
         t0 = time.perf_counter_ns()
-        texts, spans_col, kinds, errors, nbytes = [], [], [], [], []
+        texts, spans_col, kinds, errors = [], [], [], []
+        messages, samples, nbytes = [], [], []
         for blob, url in zip(pdf["html"], pdf["url"]):
             blob_b = bytes(blob) if blob is not None else None
-            text, spans, kind, err = extract_document(blob_b, url)
+            text, spans, kind, err, msg = extract_document_detail(blob_b, url)
             texts.append(text)
             spans_col.append(
                 None
@@ -72,6 +76,16 @@ def _extract_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             )
             kinds.append(kind)
             errors.append(err)
+            messages.append(msg)
+            # failure forensics: a short lossless (latin-1) prefix of the
+            # raw input so a failure class is debuggable without re-running
+            # the kernel (reference failure log keeps the raw payload,
+            # src/prefect_state.py:245-282)
+            samples.append(
+                blob_b[:_SAMPLE_BYTES].decode("latin-1")
+                if err is not None and blob_b
+                else None
+            )
             nbytes.append(len(blob_b) if blob_b is not None else 0)
         elapsed = time.perf_counter_ns() - t0
         n = max(1, len(pdf))
@@ -84,6 +98,8 @@ def _extract_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 "content_kind": pd.Series(kinds, dtype="object"),
                 "extractor_version": EXTRACTOR_VERSION,
                 "error_type": pd.Series(errors, dtype="object"),
+                "error_message": pd.Series(messages, dtype="object"),
+                "input_sample": pd.Series(samples, dtype="object"),
                 "partition_id": pid,
                 "bytes_in": pd.Series(nbytes, dtype="int64"),
                 "kernel_ns": elapsed // n,
@@ -98,7 +114,7 @@ def _extract_batches_arrow(it):
     import pyarrow as pa
     from pyspark import TaskContext
 
-    from gemini_ocr_batch_spark.kernels import extract_document
+    from gemini_ocr_batch_spark.kernels import extract_document_detail
 
     tc = TaskContext.get()
     pid = tc.partitionId() if tc is not None else -1
@@ -115,9 +131,10 @@ def _extract_batches_arrow(it):
         t0 = time.perf_counter_ns()
         urls = batch.column("url").to_pylist()
         blobs = batch.column("html").to_pylist()
-        texts, spans, kinds, errs, nbytes = [], [], [], [], []
+        texts, spans, kinds, errs = [], [], [], []
+        msgs, samples, nbytes = [], [], []
         for url, blob in zip(urls, blobs):
-            text, sp, kind, err = extract_document(blob, url)
+            text, sp, kind, err, msg = extract_document_detail(blob, url)
             texts.append(text)
             spans.append(
                 None
@@ -126,6 +143,12 @@ def _extract_batches_arrow(it):
             )
             kinds.append(kind)
             errs.append(err)
+            msgs.append(msg)
+            samples.append(
+                blob[:_SAMPLE_BYTES].decode("latin-1")
+                if err is not None and blob
+                else None
+            )
             nbytes.append(len(blob) if blob is not None else 0)
         elapsed = time.perf_counter_ns() - t0
         n = batch.num_rows  # constant columns must match row count exactly
@@ -139,14 +162,16 @@ def _extract_batches_arrow(it):
                 pa.array(kinds, pa.string()),
                 pa.array([EXTRACTOR_VERSION] * n, pa.string()),
                 pa.array(errs, pa.string()),
+                pa.array(msgs, pa.string()),
+                pa.array(samples, pa.string()),
                 pa.array([pid] * n, pa.int32()),
                 pa.array(nbytes, pa.int64()),
                 pa.array([per_row_ns] * n, pa.int64()),
             ],
             names=[
                 "url", "warc_ts", "extracted_text", "spans", "content_kind",
-                "extractor_version", "error_type", "partition_id",
-                "bytes_in", "kernel_ns",
+                "extractor_version", "error_type", "error_message",
+                "input_sample", "partition_id", "bytes_in", "kernel_ns",
             ],
         )
 

@@ -53,6 +53,11 @@ EXTRACTED_SCHEMA = T.StructType(
         T.StructField("content_kind", T.StringType(), True),
         T.StructField("extractor_version", T.StringType(), False),
         T.StructField("error_type", T.StringType(), True),
+        # failure forensics (reference keeps message + raw payload in its
+        # failure log, src/prefect_state.py:245-282): exception repr and a
+        # short prefix of the raw input — null on success rows
+        T.StructField("error_message", T.StringType(), True),
+        T.StructField("input_sample", T.StringType(), True),
         # physical-plan telemetry used by the lineage aggregation; cheap
         # per-row longs, dropped before the user-facing sink if undesired
         T.StructField("partition_id", T.IntegerType(), False),
@@ -91,6 +96,8 @@ CHECKPOINT_SCHEMA = T.StructType(
 )
 
 STATUS_PENDING = "pending"
+STATUS_RUNNING = "running"  # inflight visibility (reference:
+# src/prefect_state.py:335-346 marks records inflight for the pass)
 STATUS_SUCCESS = "success"
 STATUS_FAILED = "failed"
 STATUS_DEAD = "dead"
@@ -126,6 +133,8 @@ FAILURES_SCHEMA = T.StructType(
         T.StructField("url", T.StringType(), False),
         T.StructField("warc_ts", T.TimestampType(), False),
         T.StructField("error_type", T.StringType(), False),
+        T.StructField("error_message", T.StringType(), True),
+        T.StructField("input_sample", T.StringType(), True),
         T.StructField("attempts", T.IntegerType(), False),
         T.StructField("run_id", T.StringType(), False),
         T.StructField("created_at", T.TimestampType(), False),

@@ -154,3 +154,49 @@ def test_fast_tokenizer_matches_stdlib_on_fixtures():
         assert segment_blocks(text) == segment_blocks_stdlib(text)
         checked += 1
     assert checked > 200
+
+
+def test_fast_tokenizer_matches_stdlib_on_self_closing_tags():
+    """XHTML self-closing tags must not leak skip/anchor/boiler depth in the
+    fast tokenizer. stdlib routes <tag/> through handle_startendtag
+    (start + end); the `/` counts only when not part of an unquoted
+    attribute value (<div id=x/> is start-only with value "x/")."""
+    from gemini_ocr_batch_spark.kernels.html_extract import (
+        segment_blocks,
+        segment_blocks_stdlib,
+    )
+
+    cases = [
+        # skip-depth leak: everything after a leaked <iframe/> vanishes
+        "<p>before</p><iframe/><p>the main article body has many words "
+        "here to keep</p>",
+        "<p>x</p><script src=app.js/><p>kept content after self closing "
+        "script tag</p>",
+        "<svg viewBox=\"0 0 10 10\"/><p>kept content after self closing "
+        "svg element here</p>",
+        # anchor-depth leak: later blocks get classified link-dense
+        "<a/><p>this paragraph must not be counted as anchor text at "
+        "all</p>",
+        "<p><a href='/x'/>tail words outside the closed anchor should "
+        "count as plain text</p>",
+        # boiler/kind-stack leak
+        "<nav/><p>content after an empty self closed nav is not "
+        "boilerplate</p>",
+        "<div/><li>list item after self closed div keeps its own "
+        "kind</li>",
+        # unquoted-value slash is NOT self-closing (stdlib keeps it open)
+        "<div id=x/><p>inside an unclosed div with slashed attr "
+        "value</p>",
+        "<img src=foo/>word after img with unquoted slashed value",
+        # void tags via startendtag are harmless no-ops on end
+        "<p>line one<br/>line two of the same paragraph block here</p>",
+        # CDATA: self-closing script must NOT enter cdata mode
+        "<script/>visible words after a self closed empty script tag",
+        # ...but slashed unquoted attr DOES enter cdata mode (stdlib)
+        "<script src=x/>swallowed</script><p>after real close tag comes "
+        "real content again</p>",
+    ]
+    for html_text in cases:
+        assert segment_blocks(html_text) == segment_blocks_stdlib(
+            html_text
+        ), html_text

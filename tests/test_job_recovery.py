@@ -1,0 +1,199 @@
+"""Crash-recovery and concurrency-safety tests for the extraction job.
+
+Covers the three failure windows a long-lived production run actually hits:
+1. fixed-run_id rerun after the checkpoint advanced (must not truncate
+   previously promoted pass output);
+2. driver death between the staged write and the checkpoint MERGE (rerun
+   must not re-extract or leave duplicate keys — the analog of the
+   reference's output-existence probe, reference: src/scanner.py:90-91);
+3. two concurrent checkpoint writers (the second must fail loudly on the
+   pointer CAS, never silently drop the first's delta).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from gemini_ocr_batch_spark.checkpoint import (
+    CheckpointConflict,
+    ParquetCheckpointStore,
+)
+from gemini_ocr_batch_spark.job import read_extracted, run_extraction_job
+from gemini_ocr_batch_spark.schemas import PAGES_SCHEMA
+
+_TS = dt.datetime(2024, 1, 1)
+_GOOD = (
+    b"<html><body><p>alpha beta gamma delta epsilon zeta eta theta</p>"
+    b"<p>one two three four five six seven eight nine ten</p></body></html>"
+)
+
+
+def _good_pages(spark, n=20):
+    rows = [(f"https://ok.example/{i}", _TS, _GOOD, None, "en") for i in range(n)]
+    return spark.createDataFrame(rows, PAGES_SCHEMA)
+
+
+def _mixed_pages(spark, n_good=12, n_bad=4):
+    rows = [
+        (f"https://ok.example/{i}", _TS, _GOOD, None, "en")
+        for i in range(n_good)
+    ]
+    rows += [
+        (f"https://bad.example/{i}", _TS, bytes(range(256)) * 4, None, "en")
+        for i in range(n_bad)
+    ]
+    return spark.createDataFrame(rows, PAGES_SCHEMA)
+
+
+def test_fixed_run_id_rerun_preserves_output(spark, tmp_path):
+    """ADVICE (high): rerun with the same run_id after the checkpoint has
+    advanced must keep every previously extracted row."""
+    out = str(tmp_path / "out")
+    pages = _good_pages(spark)
+    res1 = run_extraction_job(spark, pages, out, run_id="fixedrun")
+    n1 = read_extracted(spark, out).count()
+    assert n1 == res1.success_rows == 20
+
+    res2 = run_extraction_job(spark, pages, out, run_id="fixedrun")
+    assert res2.extracted_rows == 0
+    assert read_extracted(spark, out).count() == n1
+    # and the original pass dir is untouched (still exactly one pass dir)
+    run_dir = os.path.join(out, "extracted_all", "run_id=fixedrun")
+    assert sorted(os.listdir(run_dir)) == ["pass_num=0"]
+
+
+def test_fixed_run_id_rerun_continues_pass_numbering(spark, tmp_path):
+    """A rerun under the same run_id with a non-empty frontier must land in
+    a fresh pass dir — promoted pass dirs are immutable."""
+    out = str(tmp_path / "out")
+    pages = _good_pages(spark)
+    run_extraction_job(spark, pages, out, run_id="fixedrun")
+    run_dir = os.path.join(out, "extracted_all", "run_id=fixedrun")
+    pass0 = os.path.join(run_dir, "pass_num=0")
+    pass0_files = sorted(os.listdir(pass0))
+    # admin rolls back 5 successes → they become pending again
+    store = ParquetCheckpointStore(os.path.join(out, "checkpoint"))
+    ckpt = store.read(spark)
+    forget = ckpt.limit(5).select("url", "warc_ts")
+    store.overwrite(ckpt.join(forget, ["url", "warc_ts"], "left_anti"))
+    res2 = run_extraction_job(spark, pages, out, run_id="fixedrun")
+    assert res2.extracted_rows == 5
+    # the retry landed in pass_num=1; pass 0 is byte-untouched
+    assert sorted(os.listdir(run_dir)) == ["pass_num=0", "pass_num=1"]
+    assert sorted(os.listdir(pass0)) == pass0_files
+    assert spark.read.parquet(pass0).count() == 20
+
+
+def test_crash_between_promote_and_merge_reconciles(spark, tmp_path):
+    """Simulated driver death after the pass dir was promoted but before the
+    checkpoint MERGE: the next job folds the orphan pass into the
+    checkpoint, so nothing is re-extracted and no key is duplicated."""
+    out = str(tmp_path / "out")
+    pages = _good_pages(spark)
+    run_extraction_job(spark, pages, out, run_id="runA")
+    pass_dir = os.path.join(out, "extracted_all", "run_id=runA", "pass_num=0")
+    # rewind to the crash state: merge never happened, marker never written
+    os.remove(os.path.join(pass_dir, "_MERGED"))
+    shutil.rmtree(os.path.join(out, "checkpoint"))
+
+    res2 = run_extraction_job(spark, pages, out, run_id="runB")
+    assert res2.extracted_rows == 0  # reconciled, not re-extracted
+    ext = read_extracted(spark, out)
+    assert ext.count() == 20
+    assert ext.select("url", "warc_ts").distinct().count() == 20
+    assert os.path.exists(os.path.join(pass_dir, "_MERGED"))
+    # and the orphaned run dir for runB holds no pass output at all
+    run_b = os.path.join(out, "extracted_all", "run_id=runB")
+    assert not os.path.isdir(run_b) or os.listdir(run_b) == []
+
+
+def test_half_written_staging_is_discarded(spark, tmp_path):
+    """A staging dir left by a crash mid-write is wiped at job start and
+    never becomes visible to read_extracted."""
+    out = str(tmp_path / "out")
+    staging = os.path.join(out, "_staging", "deadrun-0-abcdef01")
+    os.makedirs(staging)
+    with open(os.path.join(staging, "part-garbage.parquet"), "wb") as f:
+        f.write(b"not parquet")
+    run_extraction_job(spark, _good_pages(spark), out, run_id="runC")
+    assert not os.path.isdir(os.path.join(out, "_staging"))
+    assert read_extracted(spark, out).count() == 20
+
+
+def test_checkpoint_cas_rejects_stale_writer(spark, tmp_path):
+    """Two writers from the same base: the second flip must raise, not
+    silently discard the first's delta (ADVICE low / VERDICT #4)."""
+    root = str(tmp_path / "ck")
+    store = ParquetCheckpointStore(root, max_retries=3)
+
+    def results(urls, err=None):
+        rows = [(u, _TS, err) for u in urls]
+        return spark.createDataFrame(
+            rows, "url string, warc_ts timestamp, error_type string"
+        )
+
+    store.merge_results(results(["https://a/1"]))
+    base = store._current_version()
+    # writer 1 lands a merge (advances the pointer past `base`)
+    store.merge_results(results(["https://a/2"]))
+    # writer 2 derived its snapshot from `base` — its CAS must fail
+    stale = store.read(spark)
+    with pytest.raises(CheckpointConflict):
+        store.overwrite(stale, expect=base)
+    # the winning merge is intact and the lock file was released
+    urls = {r["url"] for r in store.read(spark).collect()}
+    assert urls == {"https://a/1", "https://a/2"}
+    assert not os.path.exists(os.path.join(root, "_CURRENT.lock"))
+    # an unfenced overwrite (admin surface) still works
+    store.overwrite(store.read(spark))
+
+
+def test_mark_running_visibility(spark, tmp_path):
+    """mark_running stamps inflight keys without lease semantics: pending
+    still returns them, and merge_results transitions them off running."""
+    root = str(tmp_path / "ck")
+    store = ParquetCheckpointStore(root, max_retries=3)
+    pages = _good_pages(spark, n=6)
+    store.mark_running(pages.select("url", "warc_ts"))
+    snap = store.read(spark)
+    assert snap.filter(F.col("status") == "running").count() == 6
+    # running keys are still pending (a crashed run never strands work)
+    assert store.pending(pages).count() == 6
+    done = pages.select(
+        "url", "warc_ts", F.lit(None).cast("string").alias("error_type")
+    )
+    store.merge_results(done)
+    snap = store.read(spark)
+    assert snap.filter(F.col("status") == "running").count() == 0
+    assert snap.filter(F.col("status") == "success").count() == 6
+    # success is sticky: re-marking running must not demote completed keys
+    store.mark_running(pages.select("url", "warc_ts"))
+    assert store.read(spark).filter(F.col("status") == "success").count() == 6
+
+
+def test_failure_log_carries_message_and_sample(spark, tmp_path):
+    """M5 fidelity: failures are debuggable from the log alone — typed code
+    plus exception message plus a prefix of the raw input (reference keeps
+    message + payload, src/prefect_state.py:245-282)."""
+    out = str(tmp_path / "out")
+    rows = [
+        ("https://bad.example/garbage", _TS, bytes(range(256)) * 4, None, "en"),
+        ("https://bad.example/empty", _TS, b"", None, "en"),
+    ]
+    pages = spark.createDataFrame(rows, PAGES_SCHEMA)
+    run_extraction_job(spark, pages, out, max_retries=1)
+    failures = spark.read.parquet(os.path.join(out, "failures"))
+    by_url = {r["url"]: r for r in failures.collect()}
+    garbage = by_url["https://bad.example/garbage"]
+    assert garbage["error_type"] == "DecodeError"
+    assert garbage["error_message"]  # exception repr, non-empty
+    assert garbage["input_sample"]  # prefix of the raw bytes
+    empty = by_url["https://bad.example/empty"]
+    assert empty["error_type"] == "EmptyDocument"
+    assert empty["error_message"]
+    assert empty["input_sample"] is None  # nothing to sample
