@@ -786,6 +786,94 @@ def _minhash_oracle_sql(n_hashes: int = 16, bands: int = 4) -> str:
         """
 
 
+def _simhash_near_oracle_sql(bits: int = 16, max_hamming: int = 3) -> str:
+    """DuckDB twin of simhash_near_pairs: same simhash CTE as the
+    dedup_simhash oracle, then the pigeonhole band bucketing + exact
+    Hamming verify via xor + bit_count (both native in DuckDB)."""
+    n_bands = max_hamming + 1
+    band_bits = bits // n_bands
+    return f"""
+            WITH tok AS (
+              SELECT DISTINCT doc_id AS doc, t.token AS token
+              FROM documents, unnest({_TOKENS}) AS t(token)
+            ),
+            th AS (
+              SELECT doc,
+                     CAST(('0x' || substr(md5(token), 1, 15)) AS BIGINT) AS th
+              FROM tok
+            ),
+            votes AS (
+              SELECT doc, b.bit AS bit,
+                     sum(CASE WHEN (th >> b.bit) & 1 = 1 THEN 1 ELSE -1 END)
+                       AS v
+              FROM th, generate_series(0, {bits - 1}) AS b(bit)
+              GROUP BY doc, b.bit
+            ),
+            sig AS (
+              SELECT doc,
+                     CAST(sum(CASE WHEN v > 0
+                              THEN (CAST(1 AS BIGINT) << bit)
+                              ELSE 0 END) AS BIGINT) AS simhash
+              FROM votes GROUP BY doc
+            ),
+            banded AS (
+              SELECT doc, simhash, b.band AS band,
+                     (simhash >> (b.band * {band_bits}))
+                       & {(1 << band_bits) - 1} AS bucket
+              FROM sig, generate_series(0, {n_bands - 1}) AS b(band)
+            ),
+            pairs AS (
+              SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b,
+                     CAST(bit_count(xor(a.simhash, b.simhash)) AS INT)
+                       AS hamming
+              FROM banded a JOIN banded b USING (band, bucket)
+              WHERE a.doc < b.doc
+            )
+            SELECT doc_a, doc_b, hamming FROM pairs
+            WHERE hamming <= {max_hamming}
+            ORDER BY doc_a, doc_b
+        """
+
+
+def _ann_lsh_oracle_sql(dim: int = 64, n_planes: int = 6, seed: int = 13,
+                        k: int = 10) -> str:
+    """DuckDB twin of lsh_topk: the seeded hyperplanes are inlined as SQL
+    literals (single source of truth: similarity.hyperplanes), and each
+    sign-bit dot product is written as an explicit left-associated sum so
+    the double arithmetic matches Spark's F.aggregate fold bit-for-bit."""
+    from gemini_ocr_batch_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(dim, n_planes, seed)
+    bit_terms = []
+    for i, plane in enumerate(planes):
+        dot = " + ".join(f"v[{j + 1}]*({c!r})" for j, c in enumerate(plane))
+        bit_terms.append(
+            f"(CASE WHEN (0.0 + {dot}) >= 0 THEN {1 << i} ELSE 0 END)"
+        )
+    bucket_expr = "\n                     + ".join(bit_terms)
+    return f"""
+            WITH e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings
+            ),
+            b AS (
+              SELECT vec_id, v,
+                     {bucket_expr} AS bucket
+              FROM e
+            ),
+            q AS (SELECT v AS qv, bucket AS qb FROM b WHERE vec_id = 0),
+            scored AS (
+              SELECT vec_id, list_cosine_similarity(v, qv) AS c
+              FROM b, q WHERE b.bucket = q.qb
+            )
+            SELECT vec_id, rank FROM (
+              SELECT vec_id,
+                     row_number() OVER (ORDER BY c DESC, vec_id) AS rank
+              FROM scored
+            ) WHERE rank <= {k} ORDER BY rank
+        """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "extract_main_text": """
@@ -1162,8 +1250,11 @@ def oracle_sql() -> dict[str, str]:
                         AS INT) AS fake_height
             FROM documents ORDER BY asset_id
         """,
+        "simhash_near_pairs": _simhash_near_oracle_sql(),
+        "ann_lsh": _ann_lsh_oracle_sql(),
         # no-oracle (rows-only) entries intentionally omitted:
-        # extraction_resume_antijoin (engine state table), ann_lsh +
-        # simhash_near_pairs + winnow_fingerprints (seeded/rolling-hash
-        # constructions not expressible in portable SQL)
+        # extraction_resume_antijoin (engine state table) and
+        # winnow_fingerprints (rolling-hash winnowing not expressible in
+        # portable SQL — cross-checked by an independent pure-Python oracle
+        # in tests/test_similarity_textstats.py instead)
     }

@@ -125,6 +125,55 @@ def test_winnowing(spark):
     assert rows[1] == _winnow_one(a)  # Spark path == pure-python path
 
 
+def _winnow_naive(text: str) -> list[int]:
+    """INDEPENDENT winnowing oracle: recomputes every k-gram hash from
+    scratch (no rolling update), explicit window scan. Shares only the
+    published construction (Schleimer et al. 2003) with the engine —
+    a genuine cross-check of the rolling-hash arithmetic."""
+    from gemini_ocr_batch_spark.operators.textstats import WINNOW_K, WINNOW_W
+
+    s = " ".join(text.lower().split())
+    if len(s) < WINNOW_K:
+        return []
+    b, m = 131, (1 << 31) - 1
+    hs = [
+        sum(
+            ord(c) * pow(b, WINNOW_K - 1 - j, m)
+            for j, c in enumerate(s[i : i + WINNOW_K])
+        )
+        % m
+        for i in range(len(s) - WINNOW_K + 1)
+    ]
+    out: list[int] = []
+    for i in range(len(hs) - WINNOW_W + 1):
+        lo = min(hs[i : i + WINNOW_W])
+        if not out or out[-1] != lo:
+            out.append(lo)
+    return out
+
+
+def test_winnowing_vs_independent_oracle(spark):
+    """Engine (rolling hash, Arrow-batched) vs independent from-scratch
+    oracle, over a spread of text shapes including edge lengths."""
+    import random
+
+    rng = random.Random(17)
+    cases = ["", "ab", "abcd", "abcde", " x  y\tz ", "A" * 50]
+    cases += [
+        "".join(rng.choice("abcdefg .,XYZ\n\t") for _ in range(rng.randint(0, 200)))
+        for _ in range(40)
+    ]
+    for s in cases:
+        assert _winnow_one(s) == _winnow_naive(s), repr(s)
+    df = spark.createDataFrame(
+        list(enumerate(cases)), "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: list(r["fingerprints"]) for r in
+            winnow_fingerprints(df).collect()}
+    for i, s in enumerate(cases):
+        assert rows[i] == _winnow_naive(s), repr(s)
+
+
 def test_asset_metadata_plumbing(spark):
     blobs = [
         (1, b"\xff\xd8\xff\xe0" + b"j" * 100),
