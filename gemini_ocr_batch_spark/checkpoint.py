@@ -6,24 +6,27 @@ Two backends behind one narrow API, exactly the reference's store-protocol
 duality (reference: src/prefect_state.py:285-346 swaps SQLite for an
 in-memory store behind the same interface):
 
-- ``ParquetCheckpointStore`` (sandbox + any vanilla Spark): versioned
-  snapshot directories + an atomically-replaced ``_CURRENT`` pointer file.
-  A "MERGE" = read current snapshot → full-outer combine with the delta →
-  write a new snapshot dir → flip the pointer. Readers always see a
-  complete snapshot; a crashed writer leaves only an unreferenced dir.
-  At 10^12-key scale this is the fallback path; the rewrite cost is bounded
-  by bucketing the snapshot on xxhash64(url) so only touched buckets
-  rewrite (future work — the sandbox snapshot is single-digit MB).
+- ``ParquetCheckpointStore`` (sandbox + any vanilla Spark): snapshots are
+  hive-partitioned by ``bucket = xxhash64(url) % B`` and the atomically
+  replaced ``_CURRENT`` pointer is a JSON *manifest* mapping each bucket to
+  the snapshot version that last rewrote it. A MERGE therefore reads and
+  rewrites ONLY the buckets containing delta keys — O(|delta| + touched
+  buckets), never O(|checkpoint|). At 10^12 keys with B=4096, a pass that
+  touches 1% of the key space rewrites ~41 buckets' files, not the whole
+  table. Readers always see a complete snapshot (the manifest swap is
+  atomic); a crashed writer leaves only unreferenced version dirs.
 
 - Iceberg (cluster runtimes with the jar): the same ``merge`` surface maps
   to ``MERGE INTO checkpoint t USING delta s ON t.url=s.url AND
   t.warc_ts=s.warc_ts WHEN MATCHED THEN UPDATE ... WHEN NOT MATCHED THEN
   INSERT ...`` — gated behind an import/catalog check since no Iceberg jar
-  ships in this sandbox.
+  ships in this sandbox. Its bucket(256, url) partitioning is the exact
+  twin of the manifest scheme here.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import time
@@ -51,39 +54,67 @@ class CheckpointConflict(RuntimeError):
     """Another writer advanced the checkpoint mid-merge (lost-update guard)."""
 
 
+def _bucket_col(n_buckets: int):
+    """bucket = xxhash64(url) % B — engine-private hash is fine here (no
+    oracle reproduces checkpoint internals) and the same function the
+    Iceberg twin's bucket(B, url) transform plays."""
+    return F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int")
+
+
 class ParquetCheckpointStore:
-    """Atomic snapshot-swap checkpoint over plain Parquet.
+    """Bucket-manifest checkpoint over plain Parquet.
+
+    Layout::
+
+        root/
+          _CURRENT                 # JSON {"n_buckets": B, "buckets":
+                                   #       {"0": "v_00000003_ab12cd34", ...}}
+          v_00000001_…/bucket=0/…  # hive-partitioned snapshot fragments
+          v_00000003_…/bucket=7/…  # (a version dir holds only the buckets
+                                   #  that its merge rewrote)
 
     Concurrency contract: SINGLE WRITER. The store does not serialize
-    concurrent merges — it *fences* them: every merge records the snapshot
-    version it read, and the pointer flip is a compare-and-swap that raises
-    :class:`CheckpointConflict` if another writer flipped first. The losing
-    merge's snapshot dir is left unreferenced (GC'd by vacuum) and no delta
-    is silently dropped — the caller retries the merge from the new base.
-    (The reference serializes writers in SQLite instead,
+    concurrent merges — it *fences* them: every merge records the manifest
+    it read, and the pointer flip is a compare-and-swap that raises
+    :class:`CheckpointConflict` if another writer flipped first (even for
+    disjoint buckets — stricter than necessary, but never a lost update).
+    The losing merge's version dir is left unreferenced (GC'd by vacuum)
+    and no delta is silently dropped — the caller retries from the new
+    base. (The reference serializes writers in SQLite instead,
     reference: src/database.py:128-145.)
     """
 
-    def __init__(self, root: str, max_retries: int = 3) -> None:
+    def __init__(self, root: str, max_retries: int = 3,
+                 n_buckets: int = 16) -> None:
         self.root = root
         self.max_retries = max_retries
+        # manifest's value wins once the store exists (layout authority)
+        m = None
+        try:
+            m = self._manifest()
+        except FileNotFoundError:
+            pass
+        self.n_buckets = m["n_buckets"] if m else n_buckets
         os.makedirs(root, exist_ok=True)
 
-    # -- snapshot bookkeeping ------------------------------------------------
-    def _current_version(self) -> str | None:
+    # -- manifest bookkeeping -------------------------------------------------
+    def _manifest(self) -> dict | None:
+        """The current manifest, or None for a fresh store."""
         ptr = os.path.join(self.root, _CURRENT)
         if not os.path.exists(ptr):
             return None
         with open(ptr, encoding="utf-8") as f:
-            name = f.read().strip()
-        return name or None
+            raw = f.read().strip()
+        if not raw:
+            return None
+        return json.loads(raw)
 
-    def _flip(self, new_version: str, expect=_UNSET) -> None:
-        """Atomically point _CURRENT at ``new_version``.
+    def _flip(self, manifest: dict, expect=_UNSET) -> None:
+        """Atomically replace the manifest.
 
-        With ``expect`` set (a version name or None-for-fresh), this is a
+        With ``expect`` set (a manifest dict or None-for-fresh), this is a
         compare-and-swap under a short-lived exclusive lock file: if the
-        pointer no longer equals ``expect``, raise CheckpointConflict
+        manifest no longer equals ``expect``, raise CheckpointConflict
         instead of silently discarding the other writer's merge.
         """
         ptr = os.path.join(self.root, _CURRENT)
@@ -100,45 +131,92 @@ class ParquetCheckpointStore:
                 f"could not acquire {lock}; stale lock from a dead writer?"
             )
         try:
-            if expect is not _UNSET and self._current_version() != expect:
+            if expect is not _UNSET and self._manifest() != expect:
                 raise CheckpointConflict(
-                    f"checkpoint advanced past {expect!r} during merge; "
-                    "re-read and retry"
+                    "checkpoint advanced during merge; re-read and retry"
                 )
             tmp = ptr + f".tmp.{os.getpid()}"
             with open(tmp, "w", encoding="utf-8") as f:
-                f.write(new_version)
+                json.dump(manifest, f, sort_keys=True)
             os.replace(tmp, ptr)  # atomic on POSIX
         finally:
             os.close(fd)
             os.unlink(lock)
 
     def _next_version(self) -> str:
-        cur = self._current_version()
-        n = int(cur.split("_")[1]) + 1 if cur else 1
+        ordinals = [0]
+        for d in os.listdir(self.root):
+            if d.startswith("v_"):
+                try:
+                    ordinals.append(int(d.split("_")[1]))
+                except (IndexError, ValueError):
+                    pass
         # uuid suffix: concurrent writers racing to the same ordinal write
         # distinct snapshot dirs — the loser's is unreferenced, never a
         # half-clobbered winner
-        return f"v_{n:08d}_{uuid.uuid4().hex[:8]}"
+        return f"v_{max(ordinals) + 1:08d}_{uuid.uuid4().hex[:8]}"
+
+    def _bucket_paths(self, manifest: dict,
+                      buckets=None) -> list[str]:
+        """Physical paths for the given buckets (default: all mapped)."""
+        mapping = manifest["buckets"]
+        keys = (
+            sorted(mapping, key=int)
+            if buckets is None
+            else [str(b) for b in buckets if str(b) in mapping]
+        )
+        return [
+            os.path.join(self.root, mapping[k], f"bucket={k}") for k in keys
+        ]
 
     def vacuum(self, keep: int = 2) -> None:
-        """Drop all but the newest ``keep`` snapshot dirs (GC, safe anytime)."""
+        """Drop version dirs no manifest bucket references, keeping the
+        newest ``keep`` regardless (grace for concurrent readers holding an
+        older manifest). GC only — safe anytime."""
+        manifest = self._manifest()
+        referenced = set(manifest["buckets"].values()) if manifest else set()
         versions = sorted(
             d for d in os.listdir(self.root) if d.startswith("v_")
         )
-        cur = self._current_version()
-        for d in versions[:-keep]:
-            if d != cur:
+        for d in versions[:-keep] if keep else versions:
+            if d not in referenced:
                 shutil.rmtree(os.path.join(self.root, d), ignore_errors=True)
+
+    # -- internals --------------------------------------------------------------
+    def _read_buckets(self, spark: SparkSession, manifest: dict,
+                      buckets=None) -> DataFrame:
+        paths = self._bucket_paths(manifest, buckets)
+        if not paths:
+            return spark.createDataFrame([], CHECKPOINT_SCHEMA)
+        return spark.read.schema(CHECKPOINT_SCHEMA).parquet(*paths)
+
+    def _write_version(self, snapshot: DataFrame, n_partitions: int) -> str:
+        """Write rows (with a ``bucket`` column) as one new version dir;
+        returns the version name. Not yet referenced by any manifest."""
+        version = self._next_version()
+        out = os.path.join(self.root, version)
+        (
+            snapshot.repartition(max(1, n_partitions), "bucket")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(out)
+        )
+        return version
+
+    def _written_buckets(self, version: str) -> list[str]:
+        out = os.path.join(self.root, version)
+        return sorted(
+            (d.split("=", 1)[1] for d in os.listdir(out)
+             if d.startswith("bucket=")),
+            key=int,
+        )
 
     # -- relational surface ----------------------------------------------------
     def read(self, spark: SparkSession) -> DataFrame:
-        cur = self._current_version()
-        if cur is None:
+        manifest = self._manifest()
+        if manifest is None:
             return spark.createDataFrame([], CHECKPOINT_SCHEMA)
-        return spark.read.schema(CHECKPOINT_SCHEMA).parquet(
-            os.path.join(self.root, cur)
-        )
+        return self._read_buckets(spark, manifest)
 
     def pending(self, pages: DataFrame) -> DataFrame:
         """The core resume query (north_rule: "idempotent resume via
@@ -152,9 +230,10 @@ class ParquetCheckpointStore:
         # fresh store: no join at all — an empty LocalRelation build side
         # has no stats, and a statically-planned SMJ would shuffle the
         # entire blob table for nothing
-        if self._current_version() is None:
+        manifest = self._manifest()
+        if manifest is None or not manifest["buckets"]:
             return pages
-        done = self.read(pages.sparkSession).filter(
+        done = self._read_buckets(pages.sparkSession, manifest).filter(
             F.col("status").isin(STATUS_SUCCESS, STATUS_DEAD)
         ).select(*KEY)
         # join strategy is Catalyst's call: a small parquet snapshot has
@@ -163,6 +242,53 @@ class ParquetCheckpointStore:
         # sort-merge join on the bucketed key — forcing F.broadcast here
         # would OOM the driver
         return pages.join(done, on=KEY, how="left_anti")
+
+    def _merge_bucketed(self, delta: DataFrame, combine) -> None:
+        """Shared bucket-pruned MERGE skeleton.
+
+        ``delta`` must carry url+warc_ts; ``combine(old, delta)`` returns
+        the merged rows (CHECKPOINT_SCHEMA) for the touched buckets only.
+        Reads and rewrites ONLY buckets containing delta keys; every other
+        bucket keeps its old manifest entry untouched.
+        """
+        spark = delta.sparkSession
+        base = self._manifest()  # CAS base (lost-update guard)
+        delta = delta.withColumn("bucket", _bucket_col(self.n_buckets))
+        if base is None or not base["buckets"]:
+            # fresh store: the delta IS the snapshot — no join (an empty
+            # LocalRelation build side would plan a full SMJ shuffle)
+            fresh = combine(None, delta).withColumn(
+                "bucket", _bucket_col(self.n_buckets)
+            )
+            version = self._write_version(fresh, self.n_buckets)
+            self._flip(
+                {
+                    "n_buckets": self.n_buckets,
+                    "buckets": {
+                        b: version for b in self._written_buckets(version)
+                    },
+                },
+                expect=base,
+            )
+            return
+        # O(|delta|) pre-scan for the touched buckets — the price that
+        # converts the rewrite from O(|checkpoint|) to O(touched buckets)
+        touched = sorted(
+            r["bucket"] for r in delta.select("bucket").distinct().collect()
+        )
+        if not touched:
+            return  # empty delta: nothing to merge, nothing to flip
+        old = self._read_buckets(spark, base, touched)
+        merged = combine(old, delta).withColumn(
+            "bucket", _bucket_col(self.n_buckets)
+        )
+        version = self._write_version(merged, len(touched))
+        mapping = dict(base["buckets"])
+        for b in self._written_buckets(version):
+            mapping[b] = version
+        self._flip(
+            {"n_buckets": self.n_buckets, "buckets": mapping}, expect=base
+        )
 
     def merge_results(self, extracted: DataFrame) -> None:
         """MERGE the outcome of one extraction pass into the checkpoint.
@@ -173,10 +299,6 @@ class ParquetCheckpointStore:
         dead once attempts ≥ max_retries (dead-letter predicate, reference:
         src/scanner.py:87-88).
         """
-        spark = extracted.sparkSession
-        base = self._current_version()  # CAS base: the snapshot this merge
-        # is derived from — _flip(expect=base) raises CheckpointConflict if
-        # another writer advanced the pointer meanwhile (lost-update guard)
         delta = extracted.select(
             "url",
             "warc_ts",
@@ -185,11 +307,10 @@ class ParquetCheckpointStore:
             .alias("new_status"),
             F.col("error_type").alias("new_error"),
         )
-        if base is None:
-            # fresh store: the delta IS the snapshot — no join (an empty
-            # LocalRelation build side would plan a full SMJ shuffle)
-            self.overwrite(
-                delta.select(
+
+        def combine(old: DataFrame | None, d: DataFrame) -> DataFrame:
+            if old is None:
+                return d.select(
                     "url",
                     "warc_ts",
                     F.when(
@@ -202,21 +323,17 @@ class ParquetCheckpointStore:
                     F.lit(1).cast("int").alias("attempts"),
                     F.col("new_error").alias("last_error"),
                     F.current_timestamp().alias("updated_at"),
-                ),
-                expect=base,
-            )
-            return
-        # pin the read to the CAS base so derive-base == check-base exactly
-        old = spark.read.schema(CHECKPOINT_SCHEMA).parquet(
-            os.path.join(self.root, base)
-        )
-        merged = (
-            old.join(delta, on=KEY, how="full_outer")
-            .select(
+                )
+            return old.join(
+                d.drop("bucket"), on=KEY, how="full_outer"
+            ).select(
                 "url",
                 "warc_ts",
                 F.when(F.col("new_status").isNull(), F.col("status"))
-                .when(F.col("new_status") == STATUS_SUCCESS, F.lit(STATUS_SUCCESS))
+                .when(
+                    F.col("new_status") == STATUS_SUCCESS,
+                    F.lit(STATUS_SUCCESS),
+                )
                 .when(
                     F.coalesce(F.col("attempts"), F.lit(0)) + 1
                     >= F.lit(self.max_retries),
@@ -226,9 +343,9 @@ class ParquetCheckpointStore:
                 .alias("status"),
                 (
                     F.coalesce(F.col("attempts"), F.lit(0))
-                    + F.when(F.col("new_status").isNotNull(), F.lit(1)).otherwise(
-                        F.lit(0)
-                    )
+                    + F.when(
+                        F.col("new_status").isNotNull(), F.lit(1)
+                    ).otherwise(F.lit(0))
                 )
                 .cast("int")
                 .alias("attempts"),
@@ -241,8 +358,8 @@ class ParquetCheckpointStore:
                 .otherwise(F.col("updated_at"))
                 .alias("updated_at"),
             )
-        )
-        self.overwrite(merged, expect=base)
+
+        self._merge_bucketed(delta, combine)
 
     def mark_running(self, keys: DataFrame) -> None:
         """Stamp frontier keys as inflight (status=running) at pass start.
@@ -252,55 +369,59 @@ class ParquetCheckpointStore:
         which keys a live run owns. Deliberately WITHOUT lease semantics —
         ``pending`` still returns running keys, so a crashed run never
         strands work; the subsequent ``merge_results`` transitions them to
-        success/failed/dead. Costs one snapshot rewrite — opt-in from the
-        job (track_inflight=True).
+        success/failed/dead. Bucket-pruned like every merge — opt-in from
+        the job (track_inflight=True).
         """
-        spark = keys.sparkSession
-        base = self._current_version()
         delta = keys.select(*KEY).withColumn("_inflight", F.lit(1))
-        if base is None:
-            self.overwrite(
-                delta.select(
+
+        def combine(old: DataFrame | None, d: DataFrame) -> DataFrame:
+            if old is None:
+                return d.select(
                     "url",
                     "warc_ts",
                     F.lit(STATUS_RUNNING).alias("status"),
                     F.lit(0).cast("int").alias("attempts"),
                     F.lit(None).cast("string").alias("last_error"),
                     F.current_timestamp().alias("updated_at"),
+                )
+            return old.join(
+                d.drop("bucket"), on=KEY, how="full_outer"
+            ).select(
+                "url",
+                "warc_ts",
+                F.when(
+                    F.col("_inflight").isNotNull()
+                    & ~F.coalesce(
+                        F.col("status"), F.lit(STATUS_PENDING)
+                    ).isin(STATUS_SUCCESS, STATUS_DEAD),
+                    F.lit(STATUS_RUNNING),
+                )
+                .otherwise(
+                    F.coalesce(F.col("status"), F.lit(STATUS_RUNNING))
+                )
+                .alias("status"),
+                F.coalesce(F.col("attempts"), F.lit(0)).cast("int").alias(
+                    "attempts"
                 ),
-                expect=base,
+                F.col("last_error"),
+                F.when(F.col("_inflight").isNotNull(), F.current_timestamp())
+                .otherwise(F.col("updated_at"))
+                .alias("updated_at"),
             )
-            return
-        old = spark.read.schema(CHECKPOINT_SCHEMA).parquet(
-            os.path.join(self.root, base)
-        )
-        merged = old.join(delta, on=KEY, how="full_outer").select(
-            "url",
-            "warc_ts",
-            F.when(
-                F.col("_inflight").isNotNull()
-                & ~F.coalesce(F.col("status"), F.lit(STATUS_PENDING)).isin(
-                    STATUS_SUCCESS, STATUS_DEAD
-                ),
-                F.lit(STATUS_RUNNING),
-            )
-            .otherwise(F.coalesce(F.col("status"), F.lit(STATUS_RUNNING)))
-            .alias("status"),
-            F.coalesce(F.col("attempts"), F.lit(0)).cast("int").alias(
-                "attempts"
-            ),
-            F.col("last_error"),
-            F.when(F.col("_inflight").isNotNull(), F.current_timestamp())
-            .otherwise(F.col("updated_at"))
-            .alias("updated_at"),
-        )
-        self.overwrite(merged, expect=base)
+
+        self._merge_bucketed(delta, combine)
 
     def overwrite(self, snapshot: DataFrame, expect=_UNSET) -> None:
-        version = self._next_version()
-        out = os.path.join(self.root, version)
-        snapshot.write.mode("overwrite").parquet(out)
-        self._flip(version, expect=expect)
+        """Full-snapshot replace (admin surface: rollback, clear, tests)."""
+        bucketed = snapshot.withColumn("bucket", _bucket_col(self.n_buckets))
+        version = self._write_version(bucketed, self.n_buckets)
+        self._flip(
+            {
+                "n_buckets": self.n_buckets,
+                "buckets": {b: version for b in self._written_buckets(version)},
+            },
+            expect=expect,
+        )
 
     def dead_letters(self, spark: SparkSession) -> DataFrame:
         """Keys retired after max_retries (reference: src/scanner.py:87-88)."""
@@ -343,13 +464,7 @@ class IcebergCheckpointStore:
         self.spark = spark
         self.table = table
         self.max_retries = max_retries
-        spark.sql(
-            f"""CREATE TABLE IF NOT EXISTS {table} (
-                    url STRING, warc_ts TIMESTAMP, status STRING,
-                    attempts INT, last_error STRING, updated_at TIMESTAMP
-                ) USING iceberg
-                PARTITIONED BY (bucket(256, url))"""
-        )
+        spark.sql(create_table_sql(table))
 
     def read(self, spark: SparkSession | None = None) -> DataFrame:
         return self.spark.read.table(self.table)
@@ -364,15 +479,33 @@ class IcebergCheckpointStore:
         extracted.select("url", "warc_ts", "error_type").createOrReplaceTempView(
             "_ckpt_delta"
         )
-        self.spark.sql(
-            f"""MERGE INTO {self.table} t
+        self.spark.sql(merge_sql(self.table, self.max_retries))
+
+    def dead_letters(self, spark: SparkSession | None = None) -> DataFrame:
+        return self.read().filter(F.col("status") == STATUS_DEAD)
+
+
+def create_table_sql(table: str) -> str:
+    """DDL for the Iceberg checkpoint table — module-level so the sandbox
+    (no Iceberg jar) can still pin the SQL under test."""
+    return f"""CREATE TABLE IF NOT EXISTS {table} (
+                    url STRING, warc_ts TIMESTAMP, status STRING,
+                    attempts INT, last_error STRING, updated_at TIMESTAMP
+                ) USING iceberg
+                PARTITIONED BY (bucket(256, url))"""
+
+
+def merge_sql(table: str, max_retries: int) -> str:
+    """The MERGE INTO statement for one extraction pass — module-level so
+    its transition logic is string-testable without an Iceberg runtime."""
+    return f"""MERGE INTO {table} t
                 USING _ckpt_delta s
                 ON t.url = s.url AND t.warc_ts = s.warc_ts
                 WHEN MATCHED AND s.error_type IS NULL THEN UPDATE SET
                     t.status = '{STATUS_SUCCESS}',
                     t.updated_at = current_timestamp()
                 WHEN MATCHED THEN UPDATE SET
-                    t.status = CASE WHEN t.attempts + 1 >= {self.max_retries}
+                    t.status = CASE WHEN t.attempts + 1 >= {max_retries}
                                     THEN '{STATUS_DEAD}'
                                     ELSE '{STATUS_FAILED}' END,
                     t.attempts = t.attempts + 1,
@@ -383,11 +516,7 @@ class IcebergCheckpointStore:
                 ) VALUES (
                     s.url, s.warc_ts,
                     CASE WHEN s.error_type IS NULL THEN '{STATUS_SUCCESS}'
-                         WHEN 1 >= {self.max_retries} THEN '{STATUS_DEAD}'
+                         WHEN 1 >= {max_retries} THEN '{STATUS_DEAD}'
                          ELSE '{STATUS_FAILED}' END,
                     1, s.error_type, current_timestamp()
                 )"""
-        )
-
-    def dead_letters(self, spark: SparkSession | None = None) -> DataFrame:
-        return self.read().filter(F.col("status") == STATUS_DEAD)

@@ -1,0 +1,57 @@
+"""String-level pinning of the Iceberg backend's SQL.
+
+No Iceberg jar ships in this sandbox, so the MERGE INTO branch can't
+execute — these tests pin the generated DDL/DML so the unexecutable path
+can't silently rot (VERDICT r1 #10). The transition logic mirrored here is
+the same one ParquetCheckpointStore.merge_results implements relationally
+and tests/test_pipeline.py::test_checkpoint_merge_transitions executes.
+"""
+
+from __future__ import annotations
+
+import re
+
+from gemini_ocr_batch_spark.checkpoint import create_table_sql, merge_sql
+
+
+def _squash(s: str) -> str:
+    return re.sub(r"\s+", " ", s).strip()
+
+
+def test_create_table_sql_shape():
+    sql = _squash(create_table_sql("cat.db.ckpt"))
+    assert "CREATE TABLE IF NOT EXISTS cat.db.ckpt" in sql
+    # key + status columns, exactly the CHECKPOINT_SCHEMA fields
+    for col in ("url STRING", "warc_ts TIMESTAMP", "status STRING",
+                "attempts INT", "last_error STRING",
+                "updated_at TIMESTAMP"):
+        assert col in sql
+    assert "USING iceberg" in sql
+    # the scale lever: bucketed partitioning on the join key
+    assert "PARTITIONED BY (bucket(256, url))" in sql
+
+
+def test_merge_sql_transitions():
+    sql = _squash(merge_sql("cat.db.ckpt", max_retries=3))
+    assert "MERGE INTO cat.db.ckpt t" in sql
+    assert "USING _ckpt_delta s" in sql
+    assert "ON t.url = s.url AND t.warc_ts = s.warc_ts" in sql
+    # success transition first (order matters: MATCHED clauses fire in order)
+    first_matched = sql.index("WHEN MATCHED AND s.error_type IS NULL")
+    second_matched = sql.index("WHEN MATCHED THEN UPDATE SET t.status = CASE")
+    assert first_matched < second_matched
+    assert "t.status = 'success'" in sql
+    # failure transition: attempts+1, dead-letter once attempts+1 >= max
+    assert "CASE WHEN t.attempts + 1 >= 3 THEN 'dead' ELSE 'failed' END" in sql
+    assert "t.attempts = t.attempts + 1" in sql
+    assert "t.last_error = s.error_type" in sql
+    # insert branch: first attempt, dead immediately iff max_retries <= 1
+    assert "WHEN NOT MATCHED THEN INSERT" in sql
+    assert ("CASE WHEN s.error_type IS NULL THEN 'success' "
+            "WHEN 1 >= 3 THEN 'dead' ELSE 'failed' END") in sql
+
+
+def test_merge_sql_max_retries_one_dead_letters_on_insert():
+    sql = _squash(merge_sql("t", max_retries=1))
+    assert "WHEN 1 >= 1 THEN 'dead'" in sql
+    assert "CASE WHEN t.attempts + 1 >= 1 THEN 'dead'" in sql

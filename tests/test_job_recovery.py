@@ -138,7 +138,7 @@ def test_checkpoint_cas_rejects_stale_writer(spark, tmp_path):
         )
 
     store.merge_results(results(["https://a/1"]))
-    base = store._current_version()
+    base = store._manifest()
     # writer 1 lands a merge (advances the pointer past `base`)
     store.merge_results(results(["https://a/2"]))
     # writer 2 derived its snapshot from `base` — its CAS must fail
@@ -151,6 +151,55 @@ def test_checkpoint_cas_rejects_stale_writer(spark, tmp_path):
     assert not os.path.exists(os.path.join(root, "_CURRENT.lock"))
     # an unfenced overwrite (admin surface) still works
     store.overwrite(store.read(spark))
+
+
+def test_bucket_pruned_merge_touches_only_delta_buckets(spark, tmp_path):
+    """VERDICT #5: an incremental merge must rewrite ONLY the buckets
+    containing delta keys — O(touched), never O(|checkpoint|)."""
+    import json
+
+    root = str(tmp_path / "ck")
+    store = ParquetCheckpointStore(root, max_retries=3, n_buckets=8)
+
+    def results(urls, err=None):
+        rows = [(u, _TS, err) for u in urls]
+        return spark.createDataFrame(
+            rows, "url string, warc_ts timestamp, error_type string"
+        )
+
+    # seed: 200 keys spread across (almost surely) all 8 buckets
+    store.merge_results(results([f"https://seed/{i}" for i in range(200)]))
+    m1 = store._manifest()
+    assert m1["n_buckets"] == 8
+    assert len(m1["buckets"]) == 8
+    v1 = set(m1["buckets"].values())
+    assert len(v1) == 1  # fresh write: one version holds everything
+
+    # incremental: ONE key → exactly one bucket may move to a new version
+    store.merge_results(results(["https://delta/only-one"]))
+    m2 = store._manifest()
+    moved = {b for b in m2["buckets"] if m2["buckets"][b] not in v1}
+    assert len(moved) == 1
+    # the new version dir physically contains only that bucket
+    new_version = m2["buckets"][next(iter(moved))]
+    bucket_dirs = [
+        d for d in os.listdir(os.path.join(root, new_version))
+        if d.startswith("bucket=")
+    ]
+    assert bucket_dirs == [f"bucket={next(iter(moved))}"]
+    # full contents intact: 201 keys, old rows preserved
+    snap = store.read(spark)
+    assert snap.count() == 201
+    assert snap.filter(F.col("status") == "success").count() == 201
+    # manifest JSON is the _CURRENT pointer
+    with open(os.path.join(root, "_CURRENT"), encoding="utf-8") as f:
+        assert json.load(f) == m2
+    # vacuum keeps every referenced version even when old
+    store.merge_results(results(["https://delta/two"]))
+    store.vacuum(keep=1)
+    for v in set(store._manifest()["buckets"].values()):
+        assert os.path.isdir(os.path.join(root, v))
+    assert store.read(spark).count() == 202
 
 
 def test_mark_running_visibility(spark, tmp_path):
