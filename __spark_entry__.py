@@ -85,6 +85,17 @@ def _q_extract_main_text(spark, sf_dir):
     ).orderBy("url")
 
 
+def _q_prev_context_pipeline(spark, sf_dir):
+    # W3 wired into the job output: extraction → lag() context carry over
+    # (domain, warc_ts, url) — reference: src/batch_builder.py:90-109
+    from gemini_ocr_batch_spark.job import with_prev_context
+    from gemini_ocr_batch_spark.operators.extract import extract_pages
+
+    pages = _synth_pages(spark, sf_dir)
+    out = with_prev_context(extract_pages(pages, n_partitions=8), 500)
+    return out.select("url", "domain", "prev_context").orderBy("url")
+
+
 def _q_pending_anti_join(spark, sf_dir):
     # J1/S3: resume frontier = work items minus completed (left_anti).
     docs = _t(spark, sf_dir, "documents")
@@ -655,6 +666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # flagship + engine ops
         "extract_main_text": _q_extract_main_text,
+        "prev_context_pipeline": _q_prev_context_pipeline,
         "extraction_resume_antijoin": _q_extraction_resume,
         # scans/filters/projections (S*/P*/F*)
         "pending_anti_join": _q_pending_anti_join,
@@ -882,6 +894,15 @@ def oracle_sql() -> dict[str, str]:
                    1 AS n_spans,
                    'html' AS content_kind
             FROM documents ORDER BY url
+        """,
+        "prev_context_pipeline": """
+            SELECT url, 'synth.example.org' AS domain,
+                   lag(right(text, 500)) OVER (ORDER BY url) AS prev_context
+            FROM (
+              SELECT 'https://synth.example.org/doc/' || doc_id || '.html'
+                       AS url, text
+              FROM documents
+            ) ORDER BY url
         """,
         "pending_anti_join": """
             SELECT doc_id, lang FROM documents

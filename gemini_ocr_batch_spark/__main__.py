@@ -5,7 +5,11 @@ Designed for ``spark-submit --py-files gemini_ocr_batch_spark.zip -m ...``
 or plain ``python -m gemini_ocr_batch_spark`` in local mode.
 
 Verbs:
-  run       --pages <parquet> --out <dir> [--max-retries N] [--partitions N]
+  run       [--config cfg.yaml] --pages <parquet> --out <dir>
+            [--max-retries N] [--partitions N]
+            (flags override config; $SPARK_GRAFT_CONFIG names a default
+             config file; .env is loaded with setdefault semantics —
+             reference: src/config.py:161-170, src/env.py:24-41)
   gen       --out <pages.parquet> --rows N [--seed S]   (synthetic input)
   status    --out <dir>          (checkpoint counts + lineage rollup)
 """
@@ -22,9 +26,12 @@ def main(argv: list[str] | None = None) -> int:
     sub = p.add_subparsers(dest="verb", required=True)
 
     run_p = sub.add_parser("run", help="run the extraction job to completion")
-    run_p.add_argument("--pages", required=True)
-    run_p.add_argument("--out", required=True)
-    run_p.add_argument("--max-retries", type=int, default=3)
+    run_p.add_argument("--config", default=None,
+                       help="YAML config (see gemini_ocr_batch_spark.config);"
+                            " CLI flags override config values")
+    run_p.add_argument("--pages", default=None)
+    run_p.add_argument("--out", default=None)
+    run_p.add_argument("--max-retries", type=int, default=None)
     run_p.add_argument("--partitions", type=int, default=None)
     run_p.add_argument("--master", default=None)
 
@@ -50,16 +57,60 @@ def main(argv: list[str] | None = None) -> int:
     from gemini_ocr_batch_spark.session import get_spark
 
     if args.verb == "run":
-        spark = get_spark(master=args.master)
-        pages = spark.read.parquet(args.pages)
-        from gemini_ocr_batch_spark.job import run_extraction_job
+        from gemini_ocr_batch_spark.config import (
+            ConfigError,
+            load_config,
+            load_dotenv,
+            resolve_config_path,
+        )
+        from gemini_ocr_batch_spark.job import (
+            apply_input_filters,
+            run_extraction_job,
+        )
 
+        load_dotenv(".env")  # setdefault semantics: env beats .env
+        cfg = None
+        cfg_path = resolve_config_path(args.config)
+        if cfg_path:
+            try:
+                cfg = load_config(cfg_path)
+            except ConfigError as exc:
+                print(str(exc), file=sys.stderr)
+                return 2
+        # precedence: CLI flag > config file > built-in default
+        pages_path = args.pages or (cfg.paths.pages if cfg else None)
+        out_dir = args.out or (cfg.paths.out if cfg else None)
+        missing = [n for n, v in (("--pages", pages_path),
+                                  ("--out", out_dir)) if not v]
+        if missing:
+            print(
+                f"missing {' and '.join(missing)} (flag or config paths.*)",
+                file=sys.stderr,
+            )
+            return 2
+        max_retries = (
+            args.max_retries
+            if args.max_retries is not None
+            else (cfg.execution.max_retries if cfg else 3)
+        )
+        partitions = args.partitions or (
+            cfg.execution.partitions if cfg else None
+        )
+        spark = get_spark(
+            master=args.master or (cfg.spark.master if cfg else None),
+            shuffle_partitions=(cfg.spark.shuffle_partitions if cfg else None),
+        )
+        pages = spark.read.parquet(pages_path)
+        if cfg:
+            pages = apply_input_filters(pages, cfg.filters)
         res = run_extraction_job(
             spark,
             pages,
-            args.out,
-            max_retries=args.max_retries,
-            n_partitions=args.partitions,
+            out_dir,
+            max_retries=max_retries,
+            n_partitions=partitions,
+            track_inflight=cfg.execution.track_inflight if cfg else False,
+            n_buckets=cfg.checkpoint.n_buckets if cfg else 16,
         )
         print(
             json.dumps(

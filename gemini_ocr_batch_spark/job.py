@@ -33,7 +33,7 @@ import shutil
 import time
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -148,6 +148,7 @@ def run_extraction_job(
     n_partitions: int | None = None,
     run_id: str | None = None,
     track_inflight: bool = False,
+    n_buckets: int = 16,
 ) -> JobResult:
     """Run extraction to completion (every key success or dead).
 
@@ -165,7 +166,9 @@ def run_extraction_job(
     """
     run_id = run_id or uuid.uuid4().hex[:12]
     store = ParquetCheckpointStore(
-        os.path.join(out_dir, "checkpoint"), max_retries=max_retries
+        os.path.join(out_dir, "checkpoint"),
+        max_retries=max_retries,
+        n_buckets=n_buckets,
     )
     all_path = os.path.join(out_dir, "extracted_all")
     staging_root = os.path.join(out_dir, "_staging")
@@ -265,6 +268,62 @@ def run_extraction_job(
     store.vacuum()
     result.wall_sec = time.perf_counter() - t_start
     return result
+
+
+def with_prev_context(extracted: DataFrame, tail_chars: int = 500) -> DataFrame:
+    """W3: carry the previous page's text tail into each row.
+
+    The reference injects the previous page's tail + trailing context into
+    the next page's processing (reference: src/batch_builder.py:90-109,
+    src/models.py:101-130). With a pure extractor this collapses to ONE
+    lag() window over the extracted output (SURVEY §3.4): partition by the
+    url host (the book/site analog), order by (warc_ts, url). Adds
+    ``domain`` and ``prev_context`` (null for each domain's first page).
+
+    Scale: the window shuffles by domain — hot domains are bounded by the
+    window being a streaming frame (no buffering beyond one row of state
+    per partition in the lag frame); a corpus-dominating single domain
+    would warrant a composite key (domain, path-prefix) instead.
+    """
+    w = Window.partitionBy("domain").orderBy("warc_ts", "url")
+    return (
+        extracted.withColumn(
+            "domain", F.parse_url(F.col("url"), F.lit("HOST"))
+        ).withColumn(
+            "prev_context",
+            F.lag(F.expr(f"right(extracted_text, {int(tail_chars)})")).over(w),
+        )
+    )
+
+
+def read_extracted_with_context(
+    spark: SparkSession, out_dir: str, tail_chars: int = 500
+) -> DataFrame:
+    """The success-only extracted view + W3 cross-page context column."""
+    return with_prev_context(read_extracted(spark, out_dir), tail_chars)
+
+
+def apply_input_filters(pages: DataFrame, filters) -> DataFrame:
+    """Config-driven input pre-filters (config.FiltersConfig): membership
+    on ``lang`` (P1) + date range on ``warc_ts`` (P2) — the analog of the
+    reference's target_states/target_years scan filters (reference:
+    src/scanner.py:60-77). Plain column predicates, so they push down to
+    the parquet scan."""
+    if filters is None:
+        return pages
+    out = pages
+    if getattr(filters, "langs", None):
+        out = out.filter(F.col("lang").isin(list(filters.langs)))
+    window = getattr(filters, "crawl_window", None)
+    if window is not None:
+        out = out.filter(
+            (F.col("warc_ts") >= F.lit(window.start.isoformat()))
+            & (
+                F.col("warc_ts")
+                < F.date_add(F.lit(window.end.isoformat()), 1)
+            )
+        )
+    return out
 
 
 def read_extracted(spark: SparkSession, out_dir: str) -> DataFrame:

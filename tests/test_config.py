@@ -1,0 +1,202 @@
+"""Validated config source (S9) — mirrors the reference's config test
+strategy (reference: test/unit/test_config.py:11-109: invalid YAML, missing
+field, bad range ⇒ clear dotted-path messages; src/env.py .env semantics)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+
+from gemini_ocr_batch_spark.config import (
+    CONFIG_ENV_VAR,
+    AppConfig,
+    ConfigError,
+    load_config,
+    load_dotenv,
+    resolve_config_path,
+    validate_config,
+)
+
+FULL = """
+paths:
+  pages: /data/pages.parquet
+  out: /data/out
+filters:
+  langs: [en, de]
+  crawl_window:
+    start: 2024-01-01
+    end: 2024-06-30
+execution:
+  max_retries: 5
+  partitions: 64
+  track_inflight: true
+checkpoint:
+  backend: parquet
+  n_buckets: 32
+spark:
+  master: local[8]
+  shuffle_partitions: 8
+"""
+
+
+def _write(tmp_path, text, name="cfg.yaml"):
+    p = tmp_path / name
+    p.write_text(text, encoding="utf-8")
+    return str(p)
+
+
+def test_full_config_parses(tmp_path):
+    cfg = load_config(_write(tmp_path, FULL))
+    assert isinstance(cfg, AppConfig)
+    assert cfg.paths.pages == "/data/pages.parquet"
+    assert cfg.filters.langs == ["en", "de"]
+    assert cfg.filters.crawl_window.start == dt.date(2024, 1, 1)
+    assert cfg.filters.crawl_window.end == dt.date(2024, 6, 30)
+    assert cfg.execution.max_retries == 5
+    assert cfg.execution.track_inflight is True
+    assert cfg.checkpoint.n_buckets == 32
+    assert cfg.spark.master == "local[8]"
+
+
+def test_minimal_config_gets_defaults(tmp_path):
+    cfg = load_config(
+        _write(tmp_path, "paths:\n  pages: /p\n  out: /o\n")
+    )
+    assert cfg.execution.max_retries == 3
+    assert cfg.execution.partitions is None
+    assert cfg.execution.track_inflight is False
+    assert cfg.checkpoint.backend == "parquet"
+    assert cfg.checkpoint.n_buckets == 16
+    assert cfg.filters.langs is None and cfg.filters.crawl_window is None
+    assert cfg.spark.master is None
+
+
+def test_missing_required_field_names_path(tmp_path):
+    with pytest.raises(ConfigError) as ei:
+        load_config(_write(tmp_path, "paths:\n  out: /o\n"))
+    assert "paths.pages: field required" in str(ei.value)
+
+
+def test_bad_window_range_is_actionable(tmp_path):
+    bad = FULL.replace("end: 2024-06-30", "end: 2023-01-01")
+    with pytest.raises(ConfigError) as ei:
+        load_config(_write(tmp_path, bad))
+    msg = str(ei.value)
+    assert "filters.crawl_window.end" in msg
+    assert "must be >= filters.crawl_window.start" in msg
+
+
+def test_invalid_yaml_is_actionable(tmp_path):
+    with pytest.raises(ConfigError) as ei:
+        load_config(_write(tmp_path, "paths: [unclosed\n"))
+    assert "Invalid YAML" in str(ei.value)
+
+
+def test_missing_file_is_actionable(tmp_path):
+    with pytest.raises(ConfigError) as ei:
+        load_config(str(tmp_path / "nope.yaml"))
+    assert "Config file not found" in str(ei.value)
+
+
+def test_non_mapping_root_rejected():
+    with pytest.raises(ConfigError) as ei:
+        validate_config(["a", "b"])  # type: ignore[arg-type]
+    assert "expected mapping" in str(ei.value)
+
+
+def test_all_errors_reported_at_once():
+    with pytest.raises(ConfigError) as ei:
+        validate_config(
+            {
+                "paths": {"pages": ""},
+                "execution": {"max_retries": 0, "partitions": "lots"},
+                "checkpoint": {"backend": "dynamo"},
+                "filters": {"langs": "en"},
+            }
+        )
+    msg = str(ei.value)
+    for frag in (
+        "paths.pages: must be a non-empty string",
+        "paths.out: field required",
+        "execution.max_retries: must be >= 1",
+        "execution.partitions: must be an integer",
+        "checkpoint.backend: must be one of parquet|iceberg",
+        "filters.langs: must be a list of non-empty strings",
+    ):
+        assert frag in msg, frag
+
+
+def test_iceberg_backend_requires_table():
+    with pytest.raises(ConfigError) as ei:
+        validate_config(
+            {"paths": {"pages": "/p", "out": "/o"},
+             "checkpoint": {"backend": "iceberg"}}
+        )
+    assert "checkpoint.iceberg_table: field required" in str(ei.value)
+
+
+def test_dotenv_setdefault_semantics(tmp_path, monkeypatch):
+    envf = tmp_path / ".env"
+    envf.write_text(
+        "# comment\nSPARK_GRAFT_TESTVAR='from_dotenv'\n"
+        "SPARK_GRAFT_TESTVAR2=plain\nnot a kv line\n",
+        encoding="utf-8",
+    )
+    monkeypatch.setenv("SPARK_GRAFT_TESTVAR", "from_env")
+    monkeypatch.delenv("SPARK_GRAFT_TESTVAR2", raising=False)
+    load_dotenv(str(envf))
+    assert os.environ["SPARK_GRAFT_TESTVAR"] == "from_env"  # env wins
+    assert os.environ["SPARK_GRAFT_TESTVAR2"] == "plain"
+    monkeypatch.delenv("SPARK_GRAFT_TESTVAR2", raising=False)
+    load_dotenv(str(tmp_path / "absent.env"))  # no-op, no raise
+
+
+def test_resolve_config_path_precedence(monkeypatch):
+    monkeypatch.setenv(CONFIG_ENV_VAR, "/from/env.yaml")
+    assert resolve_config_path("/from/cli.yaml") == "/from/cli.yaml"
+    assert resolve_config_path(None) == "/from/env.yaml"
+    monkeypatch.delenv(CONFIG_ENV_VAR)
+    assert resolve_config_path(None) is None
+
+
+def test_cli_rejects_bad_config_without_spark(tmp_path, capsys):
+    from gemini_ocr_batch_spark.__main__ import main
+
+    bad = _write(tmp_path, "paths:\n  out: /o\n")
+    rc = main(["run", "--config", bad])
+    assert rc == 2
+    assert "paths.pages: field required" in capsys.readouterr().err
+
+
+def test_cli_requires_paths_from_somewhere(capsys):
+    from gemini_ocr_batch_spark.__main__ import main
+
+    rc = main(["run"])
+    assert rc == 2
+    assert "--pages" in capsys.readouterr().err
+
+
+def test_apply_input_filters(spark):
+    from gemini_ocr_batch_spark.config import CrawlWindow, FiltersConfig
+    from gemini_ocr_batch_spark.job import apply_input_filters
+    from gemini_ocr_batch_spark.schemas import PAGES_SCHEMA
+
+    rows = [
+        ("u1", dt.datetime(2024, 1, 15), b"x", None, "en"),
+        ("u2", dt.datetime(2024, 7, 1), b"x", None, "en"),   # out of window
+        ("u3", dt.datetime(2024, 3, 1), b"x", None, "fr"),   # wrong lang
+        ("u4", dt.datetime(2024, 6, 30, 23, 59), b"x", None, "de"),  # edge in
+    ]
+    pages = spark.createDataFrame(rows, PAGES_SCHEMA)
+    f = FiltersConfig(
+        langs=["en", "de"],
+        crawl_window=CrawlWindow(dt.date(2024, 1, 1), dt.date(2024, 6, 30)),
+    )
+    got = {r["url"] for r in apply_input_filters(pages, f).collect()}
+    assert got == {"u1", "u4"}
+    assert apply_input_filters(pages, None) is pages
+    # filters are plain predicates → pushed to the scan, not post-filtered
+    plan = apply_input_filters(pages, f)._jdf.queryExecution().executedPlan()
+    assert "Filter" in plan.toString()

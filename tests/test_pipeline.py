@@ -131,6 +131,30 @@ def test_failures_and_lineage_written(spark, pages_df, tmp_path):
     assert lineage.filter(F.col("bytes_in") <= 0).count() == 0 or True
 
 
+def test_prev_context_view(spark, pages_df, tmp_path):
+    """W3 wired into the job output: each page carries the tail of the
+    previous page on the same domain (reference: src/batch_builder.py:90-109
+    prev-page context injection)."""
+    from gemini_ocr_batch_spark.job import read_extracted_with_context
+
+    out = str(tmp_path / "out")
+    run_extraction_job(spark, pages_df, out)
+    ctx = read_extracted_with_context(spark, out, tail_chars=100)
+    rows = ctx.select("domain", "warc_ts", "url", "extracted_text",
+                      "prev_context").collect()
+    assert rows, "no extracted rows"
+    by_domain: dict[str, list] = {}
+    for r in rows:
+        by_domain.setdefault(r["domain"], []).append(r)
+    multi = {d: rs for d, rs in by_domain.items() if len(rs) > 1}
+    assert multi, "fixture should produce at least one multi-page domain"
+    for rs in multi.values():
+        rs.sort(key=lambda r: (r["warc_ts"], r["url"]))
+        assert rs[0]["prev_context"] is None
+        for prev, cur in zip(rs, rs[1:]):
+            assert cur["prev_context"] == (prev["extracted_text"] or "")[-100:]
+
+
 def test_salting_spreads_partitions(spark, pages_df):
     """Salted repartition: extracted rows span many partitions and giant
     blobs do not pile into one."""
