@@ -54,11 +54,30 @@ class CheckpointConflict(RuntimeError):
     """Another writer advanced the checkpoint mid-merge (lost-update guard)."""
 
 
+# small-pass driver-side merge ceiling: above this the pass is executor
+# work; below it, spinning 2-3 Spark jobs costs more than the merge itself
+LOCAL_MERGE_MAX_ROWS = 2_000_000
+
+
 def _bucket_col(n_buckets: int):
-    """bucket = xxhash64(url) % B — engine-private hash is fine here (no
-    oracle reproduces checkpoint internals) and the same function the
-    Iceberg twin's bucket(B, url) transform plays."""
-    return F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int")
+    """bucket = (60-bit md5 prefix of url) % B.
+
+    md5 instead of xxhash64 so the DRIVER can compute the identical bucket
+    with hashlib (``bucket_of``) — that is what makes the small-delta
+    driver-side merge fast path possible. Hashing cost is once per merged
+    key, noise next to the bucket shuffle. Plays the same role as the
+    Iceberg twin's bucket(B, url) transform.
+    """
+    from gemini_ocr_batch_spark.functions.hashing import h60
+
+    return F.pmod(h60(F.col("url")), F.lit(n_buckets)).cast("int")
+
+
+def bucket_of(url: str, n_buckets: int) -> int:
+    """Driver-side twin of ``_bucket_col`` (hashlib md5 == Spark md5)."""
+    import hashlib
+
+    return int(hashlib.md5(url.encode("utf-8")).hexdigest()[:15], 16) % n_buckets
 
 
 class ParquetCheckpointStore:
@@ -360,6 +379,114 @@ class ParquetCheckpointStore:
             )
 
         self._merge_bucketed(delta, combine)
+
+    def merge_results_local(self, staged_path: str,
+                            max_rows: int = LOCAL_MERGE_MAX_ROWS) -> bool:
+        """Driver-side MERGE fast path for small passes on a local fs.
+
+        A retry pass of a few thousand keys costs 2-3 Spark jobs (~1-2 s of
+        pure scheduling/commit latency in local mode, worse on a cluster)
+        while the merge itself is sub-second of pyarrow+pandas. This path
+        reads (url, warc_ts, error_type) straight from the staged parquet,
+        applies the EXACT transition table merge_results implements
+        relationally (tests pin the two paths equal), writes the touched
+        bucket files with pyarrow, and CAS-flips the manifest. Returns
+        False — caller falls back to the Spark path — when the store or the
+        staged dir is not a local directory or the pass exceeds
+        ``max_rows``. At 10^12 scale passes are orders of magnitude above
+        the ceiling and staged data lives on object storage, so the Spark
+        path is the one that runs.
+        """
+        if not (os.path.isdir(self.root) and os.path.isdir(staged_path)):
+            return False
+        import duckdb
+
+        staged_glob = os.path.join(staged_path, "**", "*.parquet")
+        con = duckdb.connect()
+        try:
+            try:
+                n_rows = con.execute(
+                    "SELECT count(*) FROM read_parquet(?)", [staged_glob]
+                ).fetchone()[0]
+            except duckdb.IOException:
+                return True  # zero data files: empty pass, nothing to merge
+            if n_rows == 0:
+                return True
+            if n_rows > max_rows:
+                return False
+            base = self._manifest()
+            n_b = self.n_buckets
+            # the exact duckdb twin of _bucket_col's h60(url) % B
+            bucket_sql = (
+                f"(('0x' || substr(md5(url), 1, 15))::BIGINT % {n_b})::INT"
+            )
+            touched = sorted(
+                r[0]
+                for r in con.execute(
+                    f"SELECT DISTINCT {bucket_sql} "
+                    f"FROM read_parquet(?)", [staged_glob]
+                ).fetchall()
+            )
+            old_paths = self._bucket_paths(base, touched) if base else []
+            if old_paths:
+                globs = [os.path.join(p, "*.parquet") for p in old_paths]
+                old_sql = (
+                    "SELECT url, warc_ts, status, attempts, last_error, "
+                    f"updated_at FROM read_parquet({globs!r})"
+                )
+            else:
+                old_sql = (
+                    "SELECT NULL::VARCHAR AS url, "
+                    "NULL::TIMESTAMPTZ AS warc_ts, "
+                    "NULL::VARCHAR AS status, NULL::INTEGER AS attempts, "
+                    "NULL::VARCHAR AS last_error, "
+                    "NULL::TIMESTAMPTZ AS updated_at WHERE false"
+                )
+            version = self._next_version()
+            out_dir = os.path.join(self.root, version)
+            # the same CASE chain as merge_results (keep in lockstep!)
+            con.execute(
+                f"""
+                COPY (
+                  WITH delta AS (
+                    SELECT url, warc_ts, error_type
+                    FROM read_parquet('{staged_glob}')
+                  ),
+                  old AS ({old_sql})
+                  SELECT
+                    coalesce(o.url, d.url) AS url,
+                    coalesce(o.warc_ts, d.warc_ts) AS warc_ts,
+                    CASE WHEN d.url IS NULL THEN o.status
+                         WHEN d.error_type IS NULL THEN '{STATUS_SUCCESS}'
+                         WHEN coalesce(o.attempts, 0) + 1
+                              >= {self.max_retries} THEN '{STATUS_DEAD}'
+                         ELSE '{STATUS_FAILED}' END AS status,
+                    (coalesce(o.attempts, 0)
+                     + CASE WHEN d.url IS NULL THEN 0 ELSE 1 END
+                    )::INT AS attempts,
+                    coalesce(d.error_type, o.last_error) AS last_error,
+                    CASE WHEN d.url IS NULL THEN o.updated_at
+                         ELSE now() END AS updated_at,
+                    ('0x' || substr(md5(coalesce(o.url, d.url)), 1, 15)
+                    )::BIGINT % {n_b} AS bucket
+                  FROM old o
+                  FULL OUTER JOIN delta d
+                    ON o.url = d.url AND o.warc_ts = d.warc_ts
+                ) TO '{out_dir}'
+                (FORMAT PARQUET, PARTITION_BY (bucket),
+                 OVERWRITE_OR_IGNORE true)
+                """
+            )
+        finally:
+            con.close()
+        mapping = dict(base["buckets"]) if base else {}
+        for b in self._written_buckets(version):
+            mapping[b] = version
+        self._flip(
+            {"n_buckets": n_b, "buckets": mapping},
+            expect=base,
+        )
+        return True
 
     def mark_running(self, keys: DataFrame) -> None:
         """Stamp frontier keys as inflight (status=running) at pass start.

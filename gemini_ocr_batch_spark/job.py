@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from gemini_ocr_batch_spark.checkpoint import ParquetCheckpointStore
-from gemini_ocr_batch_spark.lineage import lineage_rows
+from gemini_ocr_batch_spark.lineage import lineage_rows, lineage_rows_local
 from gemini_ocr_batch_spark.operators.extract import extract_pages
 from gemini_ocr_batch_spark.schemas import (
     EXTRACTED_SCHEMA,
@@ -85,6 +85,51 @@ def _append_lineage_rows(rows, lineage_path: str, run_id: str,
 # probe (reference: src/scanner.py:90-91)
 _MERGED = "_MERGED"
 
+# driver-side sinks ceiling: small passes skip Spark-job fixed costs
+_LOCAL_FAST_PATH_MAX_ROWS = 2_000_000
+
+
+def _append_failures_local(final_path: str, failures_path: str,
+                           run_id: str, pass_num: int) -> None:
+    """Driver-side failures append for a small local pass: read the failure
+    columns straight from the promoted pass parquet and write one file —
+    the pyarrow twin of the Spark failures sink (same columns)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    tbl = pads.dataset(final_path, format="parquet").to_table(
+        columns=["url", "warc_ts", "error_type", "error_message",
+                 "input_sample"]
+    )
+    tbl = tbl.filter(pc.is_valid(tbl.column("error_type")))
+    if tbl.num_rows == 0:
+        return
+    import datetime as dt
+
+    n = tbl.num_rows
+    now = dt.datetime.now(dt.timezone.utc)
+    ts_type = pa.timestamp("us", tz="UTC")
+    out = pa.table(
+        {
+            "url": tbl.column("url"),
+            # defensive: INT96-written inputs read as naive ns — normalize
+            "warc_ts": tbl.column("warc_ts").cast(ts_type),
+            "error_type": tbl.column("error_type"),
+            "error_message": tbl.column("error_message"),
+            "input_sample": tbl.column("input_sample"),
+            "attempts": pa.array([pass_num + 1] * n, pa.int32()),
+            "run_id": pa.array([run_id] * n, pa.string()),
+            "created_at": pa.array([now] * n, pa.timestamp("us", tz="UTC")),
+        }
+    )
+    os.makedirs(failures_path, exist_ok=True)
+    pq.write_table(
+        out,
+        os.path.join(failures_path, f"part-{run_id}-{pass_num}.parquet"),
+    )
+
 
 def _touch(path: str) -> None:
     with open(path, "w", encoding="utf-8"):
@@ -120,8 +165,11 @@ def _reconcile_orphans(
                 continue
             if os.path.exists(os.path.join(pass_path, _MERGED)):
                 continue
-            staged = spark.read.schema(STAGED_SCHEMA).parquet(pass_path)
-            store.merge_results(staged.select("url", "warc_ts", "error_type"))
+            if not store.merge_results_local(pass_path):
+                staged = spark.read.schema(STAGED_SCHEMA).parquet(pass_path)
+                store.merge_results(
+                    staged.select("url", "warc_ts", "error_type")
+                )
             _touch(os.path.join(pass_path, _MERGED))
             n += 1
     return n
@@ -134,6 +182,15 @@ class JobResult:
         self.success_rows = 0
         self.failed_rows = 0
         self.wall_sec = 0.0
+        # per-phase wall seconds summed over passes (overhead forensics)
+        self.phase_secs: dict[str, float] = {}
+
+    def _phase(self, name: str, t0: float) -> float:
+        now = time.perf_counter()
+        self.phase_secs[name] = round(
+            self.phase_secs.get(name, 0.0) + (now - t0), 3
+        )
+        return now
 
     @property
     def docs_per_sec(self) -> float:
@@ -211,6 +268,7 @@ def run_extraction_job(
         tmp_path = os.path.join(
             staging_root, f"{run_id}-{pass_num}-{uuid.uuid4().hex[:8]}"
         )
+        t_ph = time.perf_counter()
         extracted = extract_pages(frontier, n_partitions=n_partitions)
         (
             extracted.withColumn("is_ok", F.col("error_type").isNull())
@@ -218,15 +276,21 @@ def run_extraction_job(
             .partitionBy("is_ok")
             .parquet(tmp_path)
         )
-        # --- cheap derived jobs over the pass we just wrote ---
-        staged = spark.read.schema(STAGED_SCHEMA).parquet(tmp_path)
-        # one tiny aggregate gives lineage rows AND the pass accounting;
-        # collect it (≤ one row per physical partition) and append via a
-        # direct driver-side pyarrow write — a Spark job for ≤64 rows costs
-        # ~2 s of fixed scheduling/commit latency per pass
-        lin_rows = lineage_rows(staged, run_id, pass_num).collect()
+        t_ph = result._phase("extract_write", t_ph)
+        # --- cheap derived work over the pass we just wrote ---
+        # one tiny aggregate gives lineage rows AND the pass accounting.
+        # Driver-side (pyarrow) when the staged dir is a local fs — each
+        # avoided Spark job saves ~0.5 s of fixed scheduling/commit latency
+        # per pass; on a cluster (object storage) the Spark path runs.
+        local_fs = os.path.isdir(tmp_path)
+        if local_fs:
+            lin_rows = lineage_rows_local(tmp_path, run_id, pass_num)
+        else:
+            staged = spark.read.schema(STAGED_SCHEMA).parquet(tmp_path)
+            lin_rows = lineage_rows(staged, run_id, pass_num).collect()
         n_total = sum(int(r["row_count"]) for r in lin_rows)
         n_bad = sum(int(r["failure_count"]) for r in lin_rows)
+        t_ph = result._phase("lineage", t_ph)
         if n_total == 0:
             # empty frontier — the job is complete; nothing to promote
             shutil.rmtree(tmp_path, ignore_errors=True)
@@ -239,22 +303,32 @@ def run_extraction_job(
         # fails loudly rather than ever replacing extracted data.
         os.makedirs(os.path.dirname(final_path), exist_ok=True)
         os.rename(tmp_path, final_path)
-        staged = spark.read.schema(STAGED_SCHEMA).parquet(final_path)
-        # checkpoint MERGE reads only the 3 key/status columns
-        store.merge_results(staged.select("url", "warc_ts", "error_type"))
+        # checkpoint MERGE reads only the 3 key/status columns; driver-side
+        # fast path for small local passes, Spark MERGE otherwise
+        if not store.merge_results_local(final_path):
+            staged = spark.read.schema(STAGED_SCHEMA).parquet(final_path)
+            store.merge_results(staged.select("url", "warc_ts", "error_type"))
         _touch(os.path.join(final_path, _MERGED))
+        t_ph = result._phase("merge", t_ph)
         if n_bad:
-            # failure log: partition-pruned (is_ok=false) + column-pruned
-            staged.filter(~F.col("is_ok")).select(
-                "url",
-                "warc_ts",
-                "error_type",
-                "error_message",
-                "input_sample",
-                F.lit(pass_num + 1).cast("int").alias("attempts"),
-                F.lit(run_id).alias("run_id"),
-                F.current_timestamp().alias("created_at"),
-            ).coalesce(8).write.mode("append").parquet(failures_path)
+            if local_fs and n_total <= _LOCAL_FAST_PATH_MAX_ROWS:
+                _append_failures_local(
+                    final_path, failures_path, run_id, pass_num
+                )
+            else:
+                # failure log: partition-pruned (is_ok=false) + column-pruned
+                staged = spark.read.schema(STAGED_SCHEMA).parquet(final_path)
+                staged.filter(~F.col("is_ok")).select(
+                    "url",
+                    "warc_ts",
+                    "error_type",
+                    "error_message",
+                    "input_sample",
+                    F.lit(pass_num + 1).cast("int").alias("attempts"),
+                    F.lit(run_id).alias("run_id"),
+                    F.current_timestamp().alias("created_at"),
+                ).coalesce(8).write.mode("append").parquet(failures_path)
+            t_ph = result._phase("failures", t_ph)
         result.passes += 1
         result.extracted_rows += n_total
         result.success_rows += n_total - n_bad

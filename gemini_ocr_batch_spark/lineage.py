@@ -10,6 +10,8 @@ failure-log pattern (reference: src/prefect_state.py:245-282).
 
 from __future__ import annotations
 
+import datetime as dt
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -44,4 +46,49 @@ def lineage_rows(extracted: DataFrame, run_id: str, pass_num: int) -> DataFrame:
             F.current_timestamp().alias("started_at"),
         )
     )
+
+
+def lineage_rows_local(staged_path: str, run_id: str,
+                       pass_num: int) -> list[dict]:
+    """Driver-side twin of :func:`lineage_rows` over a LOCAL staged dir.
+
+    A pass's telemetry columns (partition_id, error_type, bytes_in,
+    kernel_ns) are a few MB even at bench scale; aggregating them with
+    pyarrow+pandas replaces one whole Spark job of fixed scheduling/commit
+    latency per pass. Returns plain dicts consumable by the same pyarrow
+    lineage appender. Tests pin this equal to the Spark aggregation.
+    """
+    import pyarrow.dataset as pads
+
+    ds = pads.dataset(staged_path, format="parquet")
+    if "partition_id" not in ds.schema.names:
+        return []  # empty pass: zero data files were written
+    pdf = (
+        ds
+        .to_table(
+            columns=["partition_id", "error_type", "bytes_in", "kernel_ns"]
+        )
+        .to_pandas()
+    )
+    if pdf.empty:
+        return []
+    now = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+    rows = []
+    for pid, grp in pdf.groupby("partition_id", sort=True):
+        n_bad = int(grp["error_type"].notna().sum())
+        rows.append(
+            {
+                "run_id": run_id,
+                "pass_num": int(pass_num),
+                "partition_id": int(pid),
+                "row_count": int(len(grp)),
+                "success_count": int(len(grp)) - n_bad,
+                "failure_count": n_bad,
+                "bytes_in": int(grp["bytes_in"].sum()),
+                "kernel_wall_ms": float(grp["kernel_ns"].sum()) / 1e6,
+                "extractor_version": EXTRACTOR_VERSION,
+                "started_at": now,
+            }
+        )
+    return rows
 

@@ -55,6 +55,10 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # micros instead of INT96: smaller, and pyarrow reads it as
+        # timestamp[us, UTC] — required by the driver-side merge/lineage
+        # fast paths that re-read Spark-written pass output
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # task-side output commit (v2): no serial driver-side rename of N
         # output files per job — measurable on many-file sinks
         .config(

@@ -202,6 +202,72 @@ def test_bucket_pruned_merge_touches_only_delta_buckets(spark, tmp_path):
     assert store.read(spark).count() == 202
 
 
+def test_local_and_spark_merge_paths_agree(spark, tmp_path):
+    """merge_results_local (driver-side pyarrow) must produce exactly the
+    same checkpoint state as merge_results (Spark) for the same passes —
+    including retry/dead-letter transitions across multiple merges."""
+    from gemini_ocr_batch_spark.schemas import EXTRACTED_SCHEMA
+    from pyspark.sql import types as T
+
+    staged_schema = T.StructType(
+        list(EXTRACTED_SCHEMA.fields)
+        + [T.StructField("is_ok", T.BooleanType(), True)]
+    )
+
+    def write_pass(path, rows):
+        """rows: [(url, error_type)] — minimal staged pass parquet."""
+        df = spark.createDataFrame(
+            [
+                (u, _TS, None, None, None, "v", err, None, None, 0, 0, 0,
+                 err is None)
+                for u, err in rows
+            ],
+            schema="url string, warc_ts timestamp, extracted_text string, "
+            "spans array<struct<start:long,end:long,kind:string>>, "
+            "content_kind string, extractor_version string, "
+            "error_type string, error_message string, input_sample string, "
+            "partition_id int, bytes_in long, kernel_ns long, is_ok boolean",
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(path)
+        return df
+
+    passes = [
+        [("https://a/ok1", None), ("https://a/bad1", "KernelError"),
+         ("https://b/bad2", "DecodeError")],
+        [("https://a/bad1", "KernelError"), ("https://b/bad2", None)],
+        [("https://a/bad1", "KernelError")],
+    ]
+    local_store = ParquetCheckpointStore(str(tmp_path / "ck_local"),
+                                         max_retries=3, n_buckets=4)
+    spark_store = ParquetCheckpointStore(str(tmp_path / "ck_spark"),
+                                         max_retries=3, n_buckets=4)
+    for i, rows in enumerate(passes):
+        p = str(tmp_path / f"pass{i}")
+        df = write_pass(p, rows)
+        assert local_store.merge_results_local(p) is True
+        spark_store.merge_results(df.select("url", "warc_ts", "error_type"))
+
+    def state(store):
+        return {
+            r["url"]: (r["status"], r["attempts"], r["last_error"])
+            for r in store.read(spark).collect()
+        }
+
+    sl, ss = state(local_store), state(spark_store)
+    assert sl == ss
+    assert sl["https://a/ok1"] == ("success", 1, None)
+    assert sl["https://b/bad2"] == ("success", 2, "DecodeError")
+    assert sl["https://a/bad1"] == ("dead", 3, "KernelError")
+    # and the two stores interoperate: a Spark merge on top of a
+    # pyarrow-written snapshot (mixed-writer files must read identically)
+    extra = spark.createDataFrame(
+        [("https://c/new", _TS, None)],
+        "url string, warc_ts timestamp, error_type string",
+    )
+    local_store.merge_results(extra)
+    assert state(local_store)["https://c/new"] == ("success", 1, None)
+
+
 def test_mark_running_visibility(spark, tmp_path):
     """mark_running stamps inflight keys without lease semantics: pending
     still returns them, and merge_results transitions them off running."""
