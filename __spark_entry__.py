@@ -488,6 +488,24 @@ def _q_ann_lsh(spark, sf_dir):
     return lsh_topk(emb, q, k=10, n_planes=6).select("vec_id", "rank")
 
 
+def _q_embedding_near_dup(spark, sf_dir):
+    # embedding-cosine near-dup pairs, LSH-bucket-bounded (never all-pairs)
+    from gemini_ocr_batch_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    out = embedding_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.2, n_planes=4
+    )
+    return out.select(
+        "id_a",
+        "id_b",
+        F.floor(F.col("cosine") * 10000 + F.lit(0.5)).cast("bigint").alias(
+            "cosine_r"
+        ),
+    ).orderBy("id_a", "id_b")
+
+
 def _q_embedding_norm(spark, sf_dir):
     # per-row fold over the array — deterministic order both engines.
     emb = _t(spark, sf_dir, "embeddings")
@@ -715,6 +733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce": _q_ann_bruteforce,
         "ann_lsh": _q_ann_lsh,
         "embedding_norm": _q_embedding_norm,
+        "embedding_near_dup": _q_embedding_near_dup,
         "asset_metadata": _q_asset_metadata,
     }
 
@@ -847,12 +866,11 @@ def _simhash_near_oracle_sql(bits: int = 16, max_hamming: int = 3) -> str:
         """
 
 
-def _ann_lsh_oracle_sql(dim: int = 64, n_planes: int = 6, seed: int = 13,
-                        k: int = 10) -> str:
-    """DuckDB twin of lsh_topk: the seeded hyperplanes are inlined as SQL
-    literals (single source of truth: similarity.hyperplanes), and each
-    sign-bit dot product is written as an explicit left-associated sum so
-    the double arithmetic matches Spark's F.aggregate fold bit-for-bit."""
+def _bucket_expr_sql(dim: int, n_planes: int, seed: int) -> str:
+    """Sign-LSH bucket as portable SQL: the seeded hyperplanes inlined as
+    literals, each dot product an explicit left-associated sum matching
+    Spark's F.aggregate fold bit-for-bit (single source of truth:
+    similarity.hyperplanes)."""
     from gemini_ocr_batch_spark.operators.similarity import hyperplanes
 
     planes = hyperplanes(dim, n_planes, seed)
@@ -862,7 +880,41 @@ def _ann_lsh_oracle_sql(dim: int = 64, n_planes: int = 6, seed: int = 13,
         bit_terms.append(
             f"(CASE WHEN (0.0 + {dot}) >= 0 THEN {1 << i} ELSE 0 END)"
         )
-    bucket_expr = "\n                     + ".join(bit_terms)
+    return "\n                     + ".join(bit_terms)
+
+
+def _embedding_near_dup_oracle_sql(dim: int = 64, n_planes: int = 4,
+                                   seed: int = 13,
+                                   threshold: float = 0.2) -> str:
+    """DuckDB twin of embedding_near_dup_pairs (bucket-bounded pairs)."""
+    return f"""
+            WITH e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings
+            ),
+            b AS (
+              SELECT vec_id, v,
+                     {_bucket_expr_sql(dim, n_planes, seed)} AS bucket
+              FROM e
+            ),
+            pairs AS (
+              SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+                     list_cosine_similarity(a.v, b2.v) AS c
+              FROM b a JOIN b b2 USING (bucket)
+              WHERE a.vec_id < b2.vec_id
+            )
+            SELECT id_a, id_b,
+                   CAST(floor(c * 10000 + 0.5) AS BIGINT) AS cosine_r
+            FROM pairs WHERE c >= {threshold!r}
+            ORDER BY id_a, id_b
+        """
+
+
+def _ann_lsh_oracle_sql(dim: int = 64, n_planes: int = 6, seed: int = 13,
+                        k: int = 10) -> str:
+    """DuckDB twin of lsh_topk (see _bucket_expr_sql for the hyperplane
+    inlining / fold-order matching)."""
+    bucket_expr = _bucket_expr_sql(dim, n_planes, seed)
     return f"""
             WITH e AS (
               SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
@@ -1273,6 +1325,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "simhash_near_pairs": _simhash_near_oracle_sql(),
         "ann_lsh": _ann_lsh_oracle_sql(),
+        "embedding_near_dup": _embedding_near_dup_oracle_sql(),
         # no-oracle (rows-only) entries intentionally omitted:
         # extraction_resume_antijoin (engine state table) and
         # winnow_fingerprints (rolling-hash winnowing not expressible in

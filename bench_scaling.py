@@ -35,6 +35,7 @@ SPARK_WORKER = textwrap.dedent(
     """
     import json, shutil, sys, tempfile, time
     cpus = int(sys.argv[1]); sf_dir = sys.argv[2]; expand = int(sys.argv[3])
+    trials = int(sys.argv[4])
     import bench
     bench.EXPAND = expand
     from gemini_ocr_batch_spark.session import get_spark
@@ -47,7 +48,7 @@ SPARK_WORKER = textwrap.dedent(
     pages = spark.read.parquet(pages_dir)
     n = pages.count()
     best = None
-    for trial in range(5):  # trial 0 = warm-up; best of 4 measured trials
+    for trial in range(trials + 1):  # trial 0 = warm-up, not measured
         out = tempfile.mkdtemp(prefix=f"scal_{cpus}_")
         t0 = time.perf_counter()
         res = run_extraction_job(spark, pages, out, max_retries=1,
@@ -104,14 +105,30 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--expand", type=int, default=96)
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--rounds", type=int, default=3,
+                    help="interleaved measurement rounds; per-level best "
+                         "is kept, so a noisy host window can poison at "
+                         "most one round's cells, never a whole level")
+    ap.add_argument("--trials", type=int, default=2,
+                    help="measured trials per JVM per round (after one "
+                         "warm-up job)")
     args = ap.parse_args()
 
     levels = (2, 8, 32)
-    spark_res = {
-        c: run_pinned(SPARK_WORKER, c, args.sf_dir, str(args.expand))
-        for c in levels
-    }
-    py_res = {c: run_pinned(PY_WORKER, c, args.sf_dir) for c in levels}
+    spark_res: dict[int, dict] = {}
+    py_res: dict[int, dict] = {}
+    for rnd in range(args.rounds):
+        order = levels if rnd % 2 == 0 else tuple(reversed(levels))
+        for c in order:
+            cur = run_pinned(SPARK_WORKER, c, args.sf_dir,
+                             str(args.expand), str(args.trials))
+            if (c not in spark_res
+                    or cur["docs_per_sec"] > spark_res[c]["docs_per_sec"]):
+                spark_res[c] = cur
+            pcur = run_pinned(PY_WORKER, c, args.sf_dir)
+            if (c not in py_res
+                    or pcur["docs_per_sec"] > py_res[c]["docs_per_sec"]):
+                py_res[c] = pcur
 
     def eff(results, lo, hi):
         return round(
@@ -147,7 +164,7 @@ def main() -> int:
         f"({report['input_pages']} synthesized pages from "
         f"{args.sf_dir}/documents.parquet), each parallelism level in its "
         "own JVM pinned to exactly that many physical cores (`taskset`), "
-        "best of 4 steady-state trials after one warm-up job per JVM (this shared-host VM shows ±50% run-to-run noise). The "
+        "best steady-state trial across interleaved rounds (each round = one fresh JVM per level, one warm-up job + measured trials; rounds visit the levels in alternating order so one noisy window on this shared-host VM — ±50% run-to-run — cannot poison a whole level). The "
         "bare-kernel row is the same extraction code under plain python "
         "multiprocessing — the hardware ceiling of this VM.\n",
         "| cores | spark docs/sec | spark wall sec | bare-kernel docs/sec |",

@@ -90,16 +90,22 @@ _LOCAL_FAST_PATH_MAX_ROWS = 2_000_000
 
 
 def _append_failures_local(final_path: str, failures_path: str,
-                           run_id: str, pass_num: int) -> None:
+                           run_id: str, pass_num: int,
+                           attempt: int) -> None:
     """Driver-side failures append for a small local pass: read the failure
     columns straight from the promoted pass parquet and write one file —
-    the pyarrow twin of the Spark failures sink (same columns)."""
+    the pyarrow twin of the Spark failures sink (same columns). Reads only
+    the is_ok=false partition dir (the pyarrow analog of the Spark path's
+    partition pruning)."""
     import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.dataset as pads
     import pyarrow.parquet as pq
 
-    tbl = pads.dataset(final_path, format="parquet").to_table(
+    bad_dir = os.path.join(final_path, "is_ok=false")
+    if not os.path.isdir(bad_dir):
+        return
+    tbl = pads.dataset(bad_dir, format="parquet").to_table(
         columns=["url", "warc_ts", "error_type", "error_message",
                  "input_sample"]
     )
@@ -119,7 +125,7 @@ def _append_failures_local(final_path: str, failures_path: str,
             "error_type": tbl.column("error_type"),
             "error_message": tbl.column("error_message"),
             "input_sample": tbl.column("input_sample"),
-            "attempts": pa.array([pass_num + 1] * n, pa.int32()),
+            "attempts": pa.array([attempt] * n, pa.int32()),
             "run_id": pa.array([run_id] * n, pa.string()),
             "created_at": pa.array([now] * n, pa.timestamp("us", tz="UTC")),
         }
@@ -283,9 +289,12 @@ def run_extraction_job(
         # avoided Spark job saves ~0.5 s of fixed scheduling/commit latency
         # per pass; on a cluster (object storage) the Spark path runs.
         local_fs = os.path.isdir(tmp_path)
-        if local_fs:
-            lin_rows = lineage_rows_local(tmp_path, run_id, pass_num)
-        else:
+        lin_rows = (
+            lineage_rows_local(tmp_path, run_id, pass_num)
+            if local_fs
+            else None
+        )
+        if lin_rows is None:  # remote fs, or pass too big for one driver
             staged = spark.read.schema(STAGED_SCHEMA).parquet(tmp_path)
             lin_rows = lineage_rows(staged, run_id, pass_num).collect()
         n_total = sum(int(r["row_count"]) for r in lin_rows)
@@ -311,9 +320,12 @@ def run_extraction_job(
         _touch(os.path.join(final_path, _MERGED))
         t_ph = result._phase("merge", t_ph)
         if n_bad:
+            # attempt index within THIS run (pass_num is offset by
+            # base_pass on fixed-run_id reruns)
+            attempt = pass_num - base_pass + 1
             if local_fs and n_total <= _LOCAL_FAST_PATH_MAX_ROWS:
                 _append_failures_local(
-                    final_path, failures_path, run_id, pass_num
+                    final_path, failures_path, run_id, pass_num, attempt
                 )
             else:
                 # failure log: partition-pruned (is_ok=false) + column-pruned
@@ -324,7 +336,7 @@ def run_extraction_job(
                     "error_type",
                     "error_message",
                     "input_sample",
-                    F.lit(pass_num + 1).cast("int").alias("attempts"),
+                    F.lit(attempt).cast("int").alias("attempts"),
                     F.lit(run_id).alias("run_id"),
                     F.current_timestamp().alias("created_at"),
                 ).coalesce(8).write.mode("append").parquet(failures_path)
