@@ -72,7 +72,11 @@ def _normalize_text(raw: str) -> str:
     runs of leader dots).
     """
     text = " ".join(raw.split())
-    return _DOT_RUN.sub(".....", text)
+    # C-speed substring probe before the regex: dot runs are rare, the
+    # regex scan of every block is not
+    if "......" in text:
+        return _DOT_RUN.sub(".....", text)
+    return text
 
 
 class _Block:
@@ -110,13 +114,18 @@ class _BlockParser(HTMLParser):
     # -- block lifecycle ----------------------------------------------------
     def _flush(self) -> None:
         blk = self._current
+        kind = self._kind_stack[-1] if self._kind_stack else "paragraph"
+        if not blk.parts:
+            # empty block (the common case: open-tag flush right after a
+            # close-tag flush) — reuse it, just retarget the kind
+            blk.kind = kind
+            return
         text = _normalize_text("".join(blk.parts))
         if text:
             self.blocks.append(
                 (text, blk.kind, blk.total_chars, blk.link_chars,
                  self._boiler_depth > 0)
             )
-        kind = self._kind_stack[-1] if self._kind_stack else "paragraph"
         self._current = _Block(kind)
 
     # -- tokenizer callbacks ------------------------------------------------
@@ -217,15 +226,15 @@ class _FastBlockParser(_BlockParser):
                 data = html_text[pos : m.start()]
                 handle_data(unescape(data) if "&" in data else data)
             pos = m.end()
-            name = m.group(2)
+            slash, name, attrs = m.group(1, 2, 3)  # one C call, not three
             if name is None:  # comment / doctype / PI
                 continue
             tag = name.lower()
-            if m.group(1):
+            if slash:
                 self.handle_endtag(tag)
                 continue
             self.handle_starttag(tag, None)
-            attrs = m.group(3) or ""
+            attrs = attrs or ""
             # XHTML self-closing: stdlib HTMLParser routes these through
             # handle_startendtag (start + end). The trailing "/" only counts
             # when it is NOT part of an unquoted attribute value — stdlib
