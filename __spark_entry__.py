@@ -488,6 +488,53 @@ def _q_ann_lsh(spark, sf_dir):
     return lsh_topk(emb, q, k=10, n_planes=6).select("vec_id", "rank")
 
 
+def _q_hash_sample(spark, sf_dir):
+    # deterministic content-keyed sampling (reproducible across engines,
+    # reshards, and reruns — the training-data alternative to TABLESAMPLE)
+    from gemini_ocr_batch_spark.operators.sampling import hash_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return hash_sample(docs, "doc_id", 0.1).select(
+        "doc_id", "lang"
+    ).orderBy("doc_id")
+
+
+def _q_split_assign(spark, sf_dir):
+    # content-stable train/val/test assignment by hash range (no leakage
+    # across reruns or corpus growth)
+    from gemini_ocr_batch_spark.operators.sampling import assign_splits
+
+    docs = _t(spark, sf_dir, "documents")
+    out = assign_splits(docs, "doc_id")
+    return (
+        out.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("split")
+    )
+
+
+def _q_source_stats(spark, sf_dir):
+    # per-source curation rollup (the per-domain stats every corpus
+    # curation pass needs): volume + mean length per source
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.floor(
+                F.avg("n_chars") * 100 + F.lit(0.5)
+            ).cast("bigint").alias("mean_chars_x100"),
+            F.count_distinct("lang").alias("n_langs"),
+        )
+        .orderBy("source")
+    )
+
+
 def _q_embedding_near_dup(spark, sf_dir):
     # embedding-cosine near-dup pairs, LSH-bucket-bounded (never all-pairs)
     from gemini_ocr_batch_spark.operators.similarity import (
@@ -734,6 +781,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": _q_ann_lsh,
         "embedding_norm": _q_embedding_norm,
         "embedding_near_dup": _q_embedding_near_dup,
+        "hash_sample": _q_hash_sample,
+        "split_assign": _q_split_assign,
+        "source_stats": _q_source_stats,
         "asset_metadata": _q_asset_metadata,
     }
 
@@ -935,6 +985,30 @@ def _ann_lsh_oracle_sql(dim: int = 64, n_planes: int = 6, seed: int = 13,
                      row_number() OVER (ORDER BY c DESC, vec_id) AS rank
               FROM scored
             ) WHERE rank <= {k} ORDER BY rank
+        """
+
+
+def _hash_sample_oracle_sql() -> str:
+    from gemini_ocr_batch_spark.operators.sampling import bucket_sql_duckdb
+
+    return f"""
+            SELECT doc_id, lang FROM documents
+            WHERE {bucket_sql_duckdb("doc_id", "sample")} < 1000
+            ORDER BY doc_id
+        """
+
+
+def _split_assign_oracle_sql() -> str:
+    from gemini_ocr_batch_spark.operators.sampling import split_case_sql_duckdb
+
+    return f"""
+            WITH assigned AS (
+              SELECT doc_id, {split_case_sql_duckdb("doc_id")} AS split
+              FROM documents
+            )
+            SELECT split, count(*) AS n_docs,
+                   min(doc_id) AS min_id, max(doc_id) AS max_id
+            FROM assigned GROUP BY split ORDER BY split
         """
 
 
@@ -1326,6 +1400,17 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_pairs": _simhash_near_oracle_sql(),
         "ann_lsh": _ann_lsh_oracle_sql(),
         "embedding_near_dup": _embedding_near_dup_oracle_sql(),
+        "hash_sample": _hash_sample_oracle_sql(),
+        "split_assign": _split_assign_oracle_sql(),
+        "source_stats": """
+            SELECT source,
+                   count(*) AS n_docs,
+                   sum(n_chars) AS total_chars,
+                   CAST(floor(avg(n_chars) * 100 + 0.5) AS BIGINT)
+                     AS mean_chars_x100,
+                   count(DISTINCT lang) AS n_langs
+            FROM documents GROUP BY source ORDER BY source
+        """,
         # no-oracle (rows-only) entries intentionally omitted:
         # extraction_resume_antijoin (engine state table) and
         # winnow_fingerprints (rolling-hash winnowing not expressible in
