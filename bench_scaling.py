@@ -98,7 +98,19 @@ def run_pinned(code: str, cpus: int, *args: str) -> dict:
            str(cpus), *args]
     out = subprocess.run(cmd, capture_output=True, text=True, check=True,
                          cwd="/root/repo")
-    return json.loads(out.stdout.strip().splitlines()[-1])
+    # Spark/JVM noise can interleave on stdout: take the LAST line that
+    # parses as JSON, not blindly the last line
+    for line in reversed(out.stdout.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                continue
+    raise RuntimeError(
+        f"no JSON line in worker output (cpus={cpus}):\n"
+        f"{out.stdout[-2000:]}\n--- stderr ---\n{out.stderr[-2000:]}"
+    )
 
 
 def main() -> int:
