@@ -103,6 +103,23 @@ def main(argv: list[str] | None = None) -> int:
         pages = spark.read.parquet(pages_path)
         if cfg:
             pages = apply_input_filters(pages, cfg.filters)
+        store = None
+        if cfg and cfg.checkpoint.backend == "iceberg":
+            from gemini_ocr_batch_spark.checkpoint import (
+                IcebergCheckpointStore,
+            )
+
+            try:
+                store = IcebergCheckpointStore(
+                    spark, cfg.checkpoint.iceberg_table,
+                    max_retries=max_retries,
+                )
+            except RuntimeError as exc:
+                print(
+                    f"checkpoint.backend: iceberg requested but {exc}",
+                    file=sys.stderr,
+                )
+                return 2
         res = run_extraction_job(
             spark,
             pages,
@@ -111,6 +128,7 @@ def main(argv: list[str] | None = None) -> int:
             n_partitions=partitions,
             track_inflight=cfg.execution.track_inflight if cfg else False,
             n_buckets=cfg.checkpoint.n_buckets if cfg else 16,
+            store=store,
         )
         print(
             json.dumps(

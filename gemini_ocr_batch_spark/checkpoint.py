@@ -7,7 +7,10 @@ duality (reference: src/prefect_state.py:285-346 swaps SQLite for an
 in-memory store behind the same interface):
 
 - ``ParquetCheckpointStore`` (sandbox + any vanilla Spark): snapshots are
-  hive-partitioned by ``bucket = xxhash64(url) % B`` and the atomically
+  hive-partitioned by ``bucket = h60(url) % B`` (60-bit md5 prefix — NOT
+  xxhash64: md5 is the one hash the driver, DuckDB, and the JVM all
+  reproduce bit-identically, which is what makes the driver-side
+  small-pass merge fast path possible) and the atomically
   replaced ``_CURRENT`` pointer is a JSON *manifest* mapping each bucket to
   the snapshot version that last rewrote it. A MERGE therefore reads and
   rewrites ONLY the buckets containing delta keys — O(|delta| + touched
@@ -128,6 +131,43 @@ class ParquetCheckpointStore:
             return None
         return json.loads(raw)
 
+    @staticmethod
+    def _acquire_lock(lock: str) -> int:
+        """O_EXCL lock file stamped with the writer's pid.
+
+        A writer killed inside the critical section must not brick the
+        store: on contention, read the holder's pid and break the lock if
+        that process is gone (pid-reuse is the accepted residual risk —
+        the critical section is microseconds and same-host only).
+        """
+        for _ in range(500):  # the critical section is microseconds
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, str(os.getpid()).encode("ascii"))
+                return fd
+            except FileExistsError:
+                try:
+                    with open(lock, encoding="ascii") as f:
+                        holder = int(f.read().strip() or "0")
+                except (OSError, ValueError):
+                    holder = 0  # mid-write or already unlinked: retry
+                if holder:
+                    try:
+                        os.kill(holder, 0)  # probe only — signal 0
+                    except ProcessLookupError:
+                        # dead writer: break its lock and retry the O_EXCL
+                        try:
+                            os.unlink(lock)
+                        except FileNotFoundError:
+                            pass
+                        continue
+                    except PermissionError:
+                        pass  # alive under another uid: treat as held
+                time.sleep(0.005)
+        raise CheckpointConflict(
+            f"could not acquire {lock} after 2.5s; holder appears alive"
+        )
+
     def _flip(self, manifest: dict, expect=_UNSET) -> None:
         """Atomically replace the manifest.
 
@@ -138,17 +178,7 @@ class ParquetCheckpointStore:
         """
         ptr = os.path.join(self.root, _CURRENT)
         lock = ptr + ".lock"
-        fd = None
-        for _ in range(500):  # the critical section is microseconds
-            try:
-                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                break
-            except FileExistsError:
-                time.sleep(0.005)
-        if fd is None:
-            raise CheckpointConflict(
-                f"could not acquire {lock}; stale lock from a dead writer?"
-            )
+        fd = self._acquire_lock(lock)
         try:
             if expect is not _UNSET and self._manifest() != expect:
                 raise CheckpointConflict(
@@ -399,17 +429,23 @@ class ParquetCheckpointStore:
         """
         if not (os.path.isdir(self.root) and os.path.isdir(staged_path)):
             return False
-        import duckdb
+        try:
+            import duckdb
+        except ImportError:
+            return False  # vanilla install: the Spark merge path handles it
+        import glob as globmod
 
         staged_glob = os.path.join(staged_path, "**", "*.parquet")
+        # explicit file probe instead of exception sniffing: an empty pass
+        # (zero data files) is a clean no-op; any real duckdb IO failure
+        # below propagates loudly rather than being mistaken for "merged"
+        if not globmod.glob(staged_glob, recursive=True):
+            return True
         con = duckdb.connect()
         try:
-            try:
-                n_rows = con.execute(
-                    "SELECT count(*) FROM read_parquet(?)", [staged_glob]
-                ).fetchone()[0]
-            except duckdb.IOException:
-                return True  # zero data files: empty pass, nothing to merge
+            n_rows = con.execute(
+                "SELECT count(*) FROM read_parquet(?)", [staged_glob]
+            ).fetchone()[0]
             if n_rows == 0:
                 return True
             if n_rows > max_rows:
@@ -608,6 +644,23 @@ class IcebergCheckpointStore:
         )
         self.spark.sql(merge_sql(self.table, self.max_retries))
 
+    def merge_results_local(self, staged_path: str,
+                            max_rows: int = 0) -> bool:
+        """No driver-side fast path for a remote table — always False so
+        the job falls through to the MERGE INTO."""
+        return False
+
+    def mark_running(self, keys: DataFrame) -> None:
+        """Inflight visibility via MERGE (same semantics as the Parquet
+        twin: never demotes success/dead, no lease)."""
+        keys.select(*KEY).createOrReplaceTempView("_ckpt_running")
+        self.spark.sql(mark_running_sql(self.table))
+
+    def vacuum(self, keep: int = 2) -> None:
+        """Snapshot expiry is Iceberg table maintenance
+        (expire_snapshots), owned by the catalog's maintenance jobs —
+        deliberately a no-op here."""
+
     def dead_letters(self, spark: SparkSession | None = None) -> DataFrame:
         return self.read().filter(F.col("status") == STATUS_DEAD)
 
@@ -620,6 +673,25 @@ def create_table_sql(table: str) -> str:
                     attempts INT, last_error STRING, updated_at TIMESTAMP
                 ) USING iceberg
                 PARTITIONED BY (bucket(256, url))"""
+
+
+def mark_running_sql(table: str) -> str:
+    """MERGE stamping frontier keys as running (visibility only) — the
+    Iceberg twin of ParquetCheckpointStore.mark_running, string-testable
+    without an Iceberg runtime."""
+    return f"""MERGE INTO {table} t
+                USING _ckpt_running s
+                ON t.url = s.url AND t.warc_ts = s.warc_ts
+                WHEN MATCHED AND t.status NOT IN
+                    ('{STATUS_SUCCESS}', '{STATUS_DEAD}') THEN UPDATE SET
+                    t.status = '{STATUS_RUNNING}',
+                    t.updated_at = current_timestamp()
+                WHEN NOT MATCHED THEN INSERT (
+                    url, warc_ts, status, attempts, last_error, updated_at
+                ) VALUES (
+                    s.url, s.warc_ts, '{STATUS_RUNNING}', 0, NULL,
+                    current_timestamp()
+                )"""
 
 
 def merge_sql(table: str, max_retries: int) -> str:

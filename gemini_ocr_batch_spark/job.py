@@ -37,7 +37,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from gemini_ocr_batch_spark.checkpoint import ParquetCheckpointStore
+from gemini_ocr_batch_spark.checkpoint import (
+    LOCAL_MERGE_MAX_ROWS,
+    ParquetCheckpointStore,
+)
 from gemini_ocr_batch_spark.lineage import lineage_rows, lineage_rows_local
 from gemini_ocr_batch_spark.operators.extract import extract_pages
 from gemini_ocr_batch_spark.schemas import (
@@ -85,8 +88,11 @@ def _append_lineage_rows(rows, lineage_path: str, run_id: str,
 # probe (reference: src/scanner.py:90-91)
 _MERGED = "_MERGED"
 
-# driver-side sinks ceiling: small passes skip Spark-job fixed costs
-_LOCAL_FAST_PATH_MAX_ROWS = 2_000_000
+# driver-side sinks ceiling: small passes skip Spark-job fixed costs.
+# ONE constant shared with the checkpoint merge fast path so a pass never
+# straddles the two regimes (Spark merge but pyarrow failures, or vice
+# versa) after someone tunes one of them.
+_LOCAL_FAST_PATH_MAX_ROWS = LOCAL_MERGE_MAX_ROWS
 
 
 def _append_failures_local(final_path: str, failures_path: str,
@@ -212,6 +218,7 @@ def run_extraction_job(
     run_id: str | None = None,
     track_inflight: bool = False,
     n_buckets: int = 16,
+    store=None,
 ) -> JobResult:
     """Run extraction to completion (every key success or dead).
 
@@ -228,7 +235,9 @@ def run_extraction_job(
                         failure_logs, src/database.py:101-125)
     """
     run_id = run_id or uuid.uuid4().hex[:12]
-    store = ParquetCheckpointStore(
+    # store injection: the config's checkpoint.backend=iceberg path passes
+    # an IcebergCheckpointStore here (same narrow surface)
+    store = store or ParquetCheckpointStore(
         os.path.join(out_dir, "checkpoint"),
         max_retries=max_retries,
         n_buckets=n_buckets,

@@ -208,6 +208,59 @@ _CDATA_TAGS = {"script", "style"}
 _CDATA_CLOSE = {t: re.compile(f"</{t}", re.IGNORECASE) for t in _CDATA_TAGS}
 
 
+def _attrs_self_closing(attrs: str) -> bool:
+    """Does stdlib HTMLParser treat ``<tag{attrs}>`` as startendtag?
+
+    attrs is known to end with "/". stdlib's rule (verified against every
+    edge case in the cross-check tests): the trailing "/" is NOT
+    self-closing iff it is consumed as part of an UNQUOTED attribute
+    value — i.e. the last top-level "=" is followed (after optional
+    whitespace) by an unquoted run that reaches the end. Bare attribute
+    names (`<td nowrap/>`), quoted values (`<svg a="0 1"/>`), and no-attr
+    tags (`<br/>`) are all self-closing; `<div id=x/>`, `<div a=b=c/>`,
+    `<div a= />` are start-only (the value swallows the slash).
+
+    This walks attrs with stdlib attrfind_tolerant's exact token shapes:
+    separators are whitespace and any "/" not at the very end (stdlib's
+    ``(?:\\s|/(?!>))*``); names are ``[^\\s/>][^\\s/=>]*``; an unquoted
+    value is a greedy non-whitespace run (slashes and "=" included, so
+    ``<td x=  x= />`` has value "x=" and IS self-closing while
+    ``<td x= />`` has value "/" and is NOT).
+    """
+    s = attrs
+    i, n = 0, len(s)
+    while True:
+        # separator run: whitespace + slashes that are not the final "/>"
+        while i < n and (s[i].isspace() or (s[i] == "/" and i != n - 1)):
+            i += 1
+        if i >= n:
+            return False  # unreachable (attrs ends with "/"), safety
+        if i == n - 1 and s[i] == "/":
+            return True  # exactly "/>" remains after all attributes
+        # attribute name: first char anything but \s / >, rest also not =
+        i += 1
+        while i < n and s[i] not in " \t\n\r\f/=":
+            i += 1
+        # optional \s*=+\s* value
+        j = i
+        while j < n and s[j].isspace():
+            j += 1
+        if j < n and s[j] == "=":
+            while j < n and s[j] == "=":
+                j += 1
+            while j < n and s[j].isspace():
+                j += 1
+            if j < n and s[j] in "\"'":
+                k = s.find(s[j], j + 1)
+                i = n if k < 0 else k + 1
+            else:
+                # unquoted value: greedy non-whitespace run
+                while j < n and not s[j].isspace():
+                    j += 1
+                i = j
+        # bare attribute: i already sits after the name
+
+
 class _FastBlockParser(_BlockParser):
     """Same state machine, regex tokenizer instead of HTMLParser.feed."""
 
@@ -236,13 +289,10 @@ class _FastBlockParser(_BlockParser):
             self.handle_starttag(tag, None)
             attrs = attrs or ""
             # XHTML self-closing: stdlib HTMLParser routes these through
-            # handle_startendtag (start + end). The trailing "/" only counts
-            # when it is NOT part of an unquoted attribute value — stdlib
-            # parses <div id=x/> as start-only with value "x/", but
-            # <svg viewBox="0 0 1 1"/> and <iframe/> as start+end.
-            self_closing = attrs.endswith("/") and (
-                len(attrs) == 1 or attrs[-2] in " \t\n\r\f\"'"
-            )
+            # handle_startendtag (start + end) unless the "/" is part of an
+            # unquoted attribute value — the exact rule lives in
+            # _attrs_self_closing (rare path: only when attrs ends with /)
+            self_closing = attrs.endswith("/") and _attrs_self_closing(attrs)
             if self_closing:
                 self.handle_endtag(tag)
                 continue

@@ -195,8 +195,64 @@ def test_fast_tokenizer_matches_stdlib_on_self_closing_tags():
         # ...but slashed unquoted attr DOES enter cdata mode (stdlib)
         "<script src=x/>swallowed</script><p>after real close tag comes "
         "real content again</p>",
+        # bare attribute names before the slash ARE self-closing (stdlib
+        # attrfind stops the name at '/'): the leaked skip/boiler depth
+        # dropped all following content before this was fixed
+        "<iframe allowfullscreen/><p>body text with enough words to keep "
+        "around after the iframe</p>",
+        "<nav hidden/><p>content after a bare-attr self closed nav is "
+        "not boilerplate</p>",
+        "<td nowrap/>cell text continues with plenty of words here",
+        "<div data-x/><li>list item after bare data attribute div</li>",
+        # value-slash edge cases: all start-only in stdlib
+        "<div a=b=c/><p>equals inside unquoted value swallows slash</p>",
+        "<div a= /><p>whitespace then bare slash is the value itself</p>",
+        "<div a=/><p>empty-then-slash value keeps the div open too</p>",
+        "<div a=1 b=2/><p>last unquoted value swallows the slash here</p>",
+        # mixed: quoted value then bare name then slash -> self-closing
+        "<nav a='x=y' b/><p>bare token after quoted value closes nav</p>",
+        "<div a=\"1\"b/><p>adjacent bare name after quoted value</p>",
+        "<div a/b/><p>slashed bare names are still self closing</p>",
     ]
     for html_text in cases:
         assert segment_blocks(html_text) == segment_blocks_stdlib(
             html_text
         ), html_text
+
+
+def test_fast_tokenizer_matches_stdlib_fuzzed_attrs():
+    """Randomized attribute soup: the fast tokenizer must agree with the
+    stdlib twin on every generated page (the strongest guard against
+    self-closing / attr-value edge-case drift)."""
+    import random
+
+    from gemini_ocr_batch_spark.kernels.html_extract import (
+        segment_blocks,
+        segment_blocks_stdlib,
+    )
+
+    rng = random.Random(101)
+    tags = ["p", "div", "a", "nav", "td", "iframe", "span", "li", "svg"]
+    attr_bits = [
+        "", " x", " x=1", " x=y/z", ' x="a b"', " x='c/d'", " x=", " x= ",
+        " a=1 b", ' a="q=r"', " data-k", " a=b=c", " a/b", ' a="1"b',
+    ]
+    for _ in range(300):
+        parts = []
+        for _ in range(rng.randint(3, 12)):
+            t = rng.choice(tags)
+            bits = "".join(
+                rng.choice(attr_bits) for _ in range(rng.randint(0, 2))
+            )
+            close = rng.choice(["/>", ">", ">"])
+            parts.append(f"<{t}{bits}{close}")
+            parts.append(
+                rng.choice(
+                    ["some words of body text to fill the block nicely ",
+                     "short", " ", "alpha beta gamma delta epsilon zeta "]
+                )
+            )
+            if rng.random() < 0.6:
+                parts.append(f"</{t}>")
+        page = "".join(parts)
+        assert segment_blocks(page) == segment_blocks_stdlib(page), page

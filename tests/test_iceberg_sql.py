@@ -55,3 +55,28 @@ def test_merge_sql_max_retries_one_dead_letters_on_insert():
     sql = _squash(merge_sql("t", max_retries=1))
     assert "WHEN 1 >= 1 THEN 'dead'" in sql
     assert "CASE WHEN t.attempts + 1 >= 1 THEN 'dead'" in sql
+
+
+def test_mark_running_sql_shape():
+    from gemini_ocr_batch_spark.checkpoint import mark_running_sql
+
+    sql = _squash(mark_running_sql("t"))
+    assert "USING _ckpt_running s" in sql
+    # never demotes a finished key
+    assert "t.status NOT IN ('success', 'dead')" in sql
+    assert "t.status = 'running'" in sql
+    assert "VALUES ( s.url, s.warc_ts, 'running', 0, NULL" in sql
+
+
+def test_iceberg_store_surface_matches_job_needs():
+    """The job drives the store through this exact narrow surface —
+    both backends must expose it (store injection in run_extraction_job)."""
+    from gemini_ocr_batch_spark.checkpoint import (
+        IcebergCheckpointStore,
+        ParquetCheckpointStore,
+    )
+
+    for method in ("pending", "merge_results", "merge_results_local",
+                   "mark_running", "vacuum", "read", "dead_letters"):
+        assert hasattr(ParquetCheckpointStore, method), method
+        assert hasattr(IcebergCheckpointStore, method), method

@@ -268,6 +268,47 @@ def test_local_and_spark_merge_paths_agree(spark, tmp_path):
     assert state(local_store)["https://c/new"] == ("success", 1, None)
 
 
+def test_stale_lock_from_dead_writer_is_broken(spark, tmp_path):
+    """A writer killed inside the critical section must not brick the
+    store: the next flip detects the dead holder's pid and breaks the
+    lock instead of raising forever."""
+    root = str(tmp_path / "ck")
+    store = ParquetCheckpointStore(root, max_retries=3)
+    lock = os.path.join(root, "_CURRENT.lock")
+    # forge a lock owned by a pid that certainly isn't running
+    dead_pid = 2_000_000_000
+    with open(lock, "w", encoding="ascii") as f:
+        f.write(str(dead_pid))
+    rows = spark.createDataFrame(
+        [("https://a/1", _TS, None)],
+        "url string, warc_ts timestamp, error_type string",
+    )
+    store.merge_results(rows)  # must break the stale lock and succeed
+    assert store.read(spark).count() == 1
+    assert not os.path.exists(lock)
+    # a lock held by a LIVE process is honored (times out with a clear
+    # message instead of breaking it)
+    import pytest as _pytest
+
+    with open(lock, "w", encoding="ascii") as f:
+        f.write(str(os.getpid()))
+    with _pytest.raises(CheckpointConflict, match="alive"):
+        store._flip({"n_buckets": 16, "buckets": {}})
+    os.unlink(lock)
+
+
+def test_empty_promoted_pass_dir_reconciles_cleanly(spark, tmp_path):
+    """merge_results_local on a dir with no data files is a clean no-op
+    (True), never an exception or a phantom 'merged'."""
+    root = str(tmp_path / "ck")
+    store = ParquetCheckpointStore(root, max_retries=3)
+    empty = tmp_path / "pass_empty"
+    empty.mkdir()
+    (empty / "_SUCCESS").write_text("")
+    assert store.merge_results_local(str(empty)) is True
+    assert store._manifest() is None  # nothing flipped
+
+
 def test_mark_running_visibility(spark, tmp_path):
     """mark_running stamps inflight keys without lease semantics: pending
     still returns them, and merge_results transitions them off running."""
