@@ -488,6 +488,23 @@ def _q_ann_lsh(spark, sf_dir):
     return lsh_topk(emb, q, k=10, n_planes=6).select("vec_id", "rank")
 
 
+def _q_windowed_counts(spark, sf_dir):
+    # batch twin of the streaming watermark+window aggregation (§2.10):
+    # tumbling 1h event-time windows; withWatermark is a no-op in batch
+    from gemini_ocr_batch_spark.streaming.pipeline import (
+        windowed_event_counts,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    out = windowed_event_counts(ev, window="1 hour")
+    return out.select(
+        F.unix_micros(F.col("window_start")).alias("ws_us"),
+        F.unix_micros(F.col("window_end")).alias("we_us"),
+        "event_type",
+        "n",
+    ).orderBy("ws_us", "event_type")
+
+
 def _q_hash_sample(spark, sf_dir):
     # deterministic content-keyed sampling (reproducible across engines,
     # reshards, and reruns — the training-data alternative to TABLESAMPLE)
@@ -781,6 +798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": _q_ann_lsh,
         "embedding_norm": _q_embedding_norm,
         "embedding_near_dup": _q_embedding_near_dup,
+        "windowed_counts": _q_windowed_counts,
         "hash_sample": _q_hash_sample,
         "split_assign": _q_split_assign,
         "source_stats": _q_source_stats,
@@ -1400,6 +1418,14 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_pairs": _simhash_near_oracle_sql(),
         "ann_lsh": _ann_lsh_oracle_sql(),
         "embedding_near_dup": _embedding_near_dup_oracle_sql(),
+        "windowed_counts": """
+            SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS ws_us,
+                   epoch_us(time_bucket(INTERVAL '1 hour', ts)
+                            + INTERVAL '1 hour') AS we_us,
+                   event_type, count(*) AS n
+            FROM events GROUP BY 1, 2, 3
+            ORDER BY ws_us, event_type
+        """,
         "hash_sample": _hash_sample_oracle_sql(),
         "split_assign": _split_assign_oracle_sql(),
         "source_stats": """
