@@ -150,7 +150,7 @@ def main() -> int:
         )
 
     report = {
-        "workload": "extraction pipeline (anti-join + salt + mapInPandas + "
+        "workload": "extraction pipeline (anti-join + salt + mapInArrow + "
                     "single partitioned write + checkpoint/lineage)",
         "input_pages": spark_res[2]["pages"],
         "levels": {

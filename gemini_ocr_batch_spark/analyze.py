@@ -77,7 +77,8 @@ def clear_failures(store: ParquetCheckpointStore, spark: SparkSession,
 
 def nuke(out_dir: str) -> None:
     """Truncate-all (M7): drop every state/output directory."""
-    for sub in ("extracted_all", "checkpoint", "lineage", "failures"):
+    for sub in ("extracted_all", "_staging", "checkpoint", "lineage",
+                "failures"):
         shutil.rmtree(os.path.join(out_dir, sub), ignore_errors=True)
 
 

@@ -238,6 +238,15 @@ def simhash_near_pairs(docs: DataFrame, id_col: str = "doc_id",
     Candidate bound via bit-band buckets (split the fingerprint into
     max_hamming+1 bands; pigeonhole: any pair within distance shares ≥1
     exact band), then exact Hamming verify with bit_count.
+
+    Scale config: candidate volume per band is quadratic in bucket
+    occupancy (≈ n²/2^band_bits per band), so ``bits`` must grow with the
+    corpus — the bits=16 default (4-bit buckets) is sized for the
+    oracle-checked test tables. At web scale use bits=60 (h60's width)
+    with max_hamming=3 → 15-bit band buckets, and pre-shard the self-join
+    by a content prefix the way Manku/Jain/Sarma (WWW 2007) split their
+    permuted tables; the band join itself stays shuffle-partitioned on
+    (band, bucket), never all-pairs.
     """
     n_bands = max_hamming + 1
     band_bits = bits // n_bands

@@ -78,6 +78,28 @@ def test_simhash_near_pairs(spark, corpus):
     assert (4, 5) not in pairs
 
 
+def test_simhash_near_pairs_wide_fingerprint(spark, corpus):
+    """The scale config (wide fingerprint → roomy band buckets) must find
+    the same near-dup pair and never miss any ≤max_hamming pair the
+    brute-force check finds (pigeonhole guarantee holds at any width)."""
+    from gemini_ocr_batch_spark.operators.dedup import simhash
+
+    bits, mh = 48, 3
+    got = {(r["doc_a"], r["doc_b"]) for r in
+           simhash_near_pairs(corpus, bits=bits, max_hamming=mh).collect()}
+    sigs = {r["doc_id"]: r["simhash"] for r in
+            simhash(corpus, bits=bits).collect()}
+    ids = sorted(sigs)
+    want = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if bin(sigs[a] ^ sigs[b]).count("1") <= mh
+    }
+    assert got == want
+    assert (1, 2) in got  # the engineered near-dup survives at 48 bits
+
+
 def test_dedup_on_real_documents_table(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     out = exact_dedup(docs)
