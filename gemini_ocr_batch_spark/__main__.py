@@ -41,7 +41,10 @@ def main(argv: list[str] | None = None) -> int:
     gen_p.add_argument("--seed", type=int, default=42)
 
     st_p = sub.add_parser("status", help="checkpoint + lineage summary")
-    st_p.add_argument("--out", required=True)
+    st_p.add_argument("--config", default=None,
+                      help="same config as `run` — needed to point status "
+                           "at an iceberg-backed checkpoint")
+    st_p.add_argument("--out", default=None)
     st_p.add_argument("--master", default=None)
 
     args = p.parse_args(argv)
@@ -145,16 +148,53 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.verb == "status":
-        spark = get_spark(master=args.master)
         import os
 
         from gemini_ocr_batch_spark.checkpoint import ParquetCheckpointStore
+        from gemini_ocr_batch_spark.config import (
+            ConfigError,
+            load_config,
+            resolve_config_path,
+        )
 
-        store = ParquetCheckpointStore(os.path.join(args.out, "checkpoint"))
+        cfg = None
+        cfg_path = resolve_config_path(args.config)
+        if cfg_path:
+            try:
+                cfg = load_config(cfg_path)
+            except ConfigError as exc:
+                print(str(exc), file=sys.stderr)
+                return 2
+        out_dir = args.out or (cfg.paths.out if cfg else None)
+        if not out_dir:
+            print("missing --out (flag or config paths.out)", file=sys.stderr)
+            return 2
+        spark = get_spark(master=args.master or (cfg.spark.master if cfg else None))
+        if cfg and cfg.checkpoint.backend == "iceberg":
+            # same backend dispatch as the run verb — a parquet store
+            # pointed at an iceberg-backed run would report an empty
+            # checkpoint for a finished job
+            from gemini_ocr_batch_spark.checkpoint import (
+                IcebergCheckpointStore,
+            )
+
+            try:
+                store = IcebergCheckpointStore(
+                    spark, cfg.checkpoint.iceberg_table
+                )
+            except RuntimeError as exc:
+                print(
+                    f"checkpoint.backend: iceberg requested but {exc}",
+                    file=sys.stderr,
+                )
+                return 2
+        else:
+            store = ParquetCheckpointStore(os.path.join(out_dir, "checkpoint"))
         counts = {
-            r["status"]: r["n"] for r in store.counts_by_status(spark).collect()
+            r["status"]: r["n"]
+            for r in store.counts_by_status(spark).collect()
         }
-        lineage_path = os.path.join(args.out, "lineage")
+        lineage_path = os.path.join(out_dir, "lineage")
         lineage = {}
         if os.path.isdir(lineage_path):
             from pyspark.sql import functions as F

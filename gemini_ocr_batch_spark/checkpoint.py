@@ -133,37 +133,28 @@ class ParquetCheckpointStore:
 
     @staticmethod
     def _acquire_lock(lock: str) -> int:
-        """O_EXCL lock file stamped with the writer's pid.
+        """Exclusive flock on a PERSISTENT lock file.
 
-        A writer killed inside the critical section must not brick the
-        store: on contention, read the holder's pid and break the lock if
-        that process is gone (pid-reuse is the accepted residual risk —
-        the critical section is microseconds and same-host only).
+        flock is the crash-safe primitive here: the kernel releases the
+        lock the instant the holder dies, so a killed writer can never
+        brick the store, and there is no stale-lock "breaking" logic to
+        race (an unlink-based O_EXCL scheme has an unfixable TOCTOU where
+        two recoverers both break and both enter the critical section).
+        The lock file is created once and NEVER unlinked — unlinking would
+        let a late opener lock the orphaned inode while a fresh writer
+        locks the new one. Advisory + same-host scope matches the store's
+        local-fs contract (the Iceberg backend owns cluster concurrency).
         """
+        import fcntl
+
+        fd = os.open(lock, os.O_CREAT | os.O_RDWR)
         for _ in range(500):  # the critical section is microseconds
             try:
-                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.write(fd, str(os.getpid()).encode("ascii"))
+                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
                 return fd
-            except FileExistsError:
-                try:
-                    with open(lock, encoding="ascii") as f:
-                        holder = int(f.read().strip() or "0")
-                except (OSError, ValueError):
-                    holder = 0  # mid-write or already unlinked: retry
-                if holder:
-                    try:
-                        os.kill(holder, 0)  # probe only — signal 0
-                    except ProcessLookupError:
-                        # dead writer: break its lock and retry the O_EXCL
-                        try:
-                            os.unlink(lock)
-                        except FileNotFoundError:
-                            pass
-                        continue
-                    except PermissionError:
-                        pass  # alive under another uid: treat as held
+            except BlockingIOError:
                 time.sleep(0.005)
+        os.close(fd)
         raise CheckpointConflict(
             f"could not acquire {lock} after 2.5s; holder appears alive"
         )
@@ -189,8 +180,8 @@ class ParquetCheckpointStore:
                 json.dump(manifest, f, sort_keys=True)
             os.replace(tmp, ptr)  # atomic on POSIX
         finally:
-            os.close(fd)
-            os.unlink(lock)
+            os.close(fd)  # releases the flock; the lock FILE persists
+            # (never unlink it — see _acquire_lock)
 
     def _next_version(self) -> str:
         ordinals = [0]
@@ -663,6 +654,14 @@ class IcebergCheckpointStore:
 
     def dead_letters(self, spark: SparkSession | None = None) -> DataFrame:
         return self.read().filter(F.col("status") == STATUS_DEAD)
+
+    def counts_by_status(self, spark: SparkSession | None = None) -> DataFrame:
+        return (
+            self.read()
+            .groupBy("status")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("status")
+        )
 
 
 def create_table_sql(table: str) -> str:

@@ -171,7 +171,11 @@ class _BlockParser(HTMLParser):
             return
         blk = self._current
         blk.parts.append(data)
-        n = len(data.strip())
+        # RAW length, deliberately: the feature must be invariant to how
+        # the tokenizer chunks a text run into handle_data calls (the two
+        # tokenizer twins chunk differently around bare '<'), and
+        # len(data.strip()) per chunk is not
+        n = len(data)
         blk.total_chars += n
         if self._anchor_depth:
             blk.link_chars += n
@@ -206,6 +210,19 @@ _TOKEN = re.compile(
 # stdlib HTMLParser treats these as CDATA: raw text until the literal close
 _CDATA_TAGS = {"script", "style"}
 _CDATA_CLOSE = {t: re.compile(f"</{t}", re.IGNORECASE) for t in _CDATA_TAGS}
+
+
+# The authoritative tag-boundary scanners are stdlib's OWN module-level
+# regexes (html/parser.py) — using them verbatim makes the corrective path
+# agree with the cross-check twin by construction, backtracking included.
+from html.parser import (  # noqa: E402 - intentionally after stdlib import
+    attrfind_tolerant as _ATTRFIND,
+    endtagfind as _ENDTAGFIND,
+    locatestarttagend_tolerant as _LOCATE_END,
+    tagfind_tolerant as _TAGFIND,
+)
+
+_ASCII_LETTERS = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
 
 
 def _attrs_self_closing(attrs: str) -> bool:
@@ -264,30 +281,167 @@ def _attrs_self_closing(attrs: str) -> bool:
 class _FastBlockParser(_BlockParser):
     """Same state machine, regex tokenizer instead of HTMLParser.feed."""
 
+    def _stdlib_parse_starttag(self, html_text: str, i: int) -> int:
+        """Faithful port of HTMLParser.parse_starttag +
+        check_for_whole_start_tag for a '<letter' at ``i`` that _TOKEN
+        either could not match or matched with a different boundary.
+        Uses stdlib's own module-level regexes, so the boundary,
+        junk-data path, self-closing decision, and CDATA entry are the
+        twin's by construction. Returns the resume position."""
+        handle_data = self.handle_data
+        n = len(html_text)
+        lm = _LOCATE_END.match(html_text, i)
+        j = lm.end()
+        nxt = html_text[j : j + 1]
+        if nxt == ">":
+            endpos = j + 1
+        elif nxt == "/" and html_text.startswith("/>", j):
+            endpos = j + 2
+        elif nxt == "" or nxt in _ASCII_LETTERS or nxt in "=/":
+            # incomplete at end of input: stdlib's goahead emits the text
+            # through the next '>' (or just '<' when none) as data; the
+            # equivalent here is '<' + resume (the rest re-scans as text)
+            handle_data("<")
+            return i + 1
+        else:
+            endpos = j if j > i else i + 1
+        tm = _TAGFIND.match(html_text, i + 1)
+        tag = tm.group(1).lower()
+        k = tm.end()
+        while k < endpos:
+            am = _ATTRFIND.match(html_text, k)
+            if not am:
+                break
+            k = am.end()
+        end = html_text[k:endpos].strip()
+        if end not in (">", "/>"):
+            # junk between the last attribute and the '>': the whole tag
+            # text is data (reference: html/parser.py parse_starttag)
+            data = html_text[i:endpos]
+            handle_data(unescape(data) if "&" in data else data)
+            return endpos
+        if end == "/>":
+            self.handle_starttag(tag, None)
+            self.handle_endtag(tag)
+            return endpos
+        self.handle_starttag(tag, None)
+        if tag in _CDATA_TAGS:
+            close = _CDATA_CLOSE[tag].search(html_text, endpos)
+            if close is None:
+                return n  # unterminated script/style: rest is raw cdata
+            gt = html_text.find(">", close.end())
+            self.handle_endtag(tag)
+            return n if gt == -1 else gt + 1
+        return endpos
+
+    def _stdlib_parse_endtag(self, html_text: str, i: int) -> int:
+        """Faithful port of HTMLParser.parse_endtag for '</' sequences the
+        fast path cannot handle verbatim: names with stdlib's wider
+        charset (</p.x>), junk after the name (</div foo>), the empty
+        </> (silently consumed), and bogus comments (</ div> swallowed to
+        the next '>'). Returns the resume position."""
+        n = len(html_text)
+        gt = html_text.find(">", i + 1)
+        if gt == -1:
+            # incomplete at end of input: '<' is data, rest re-scans
+            self.handle_data("<")
+            return i + 1
+        m = _ENDTAGFIND.match(html_text, i)  # </ + name + >
+        if m:
+            self.handle_endtag(m.group(1).lower())
+            return gt + 1
+        nm = _TAGFIND.match(html_text, i + 2)
+        if not nm:
+            if html_text.startswith("</>", i):
+                return i + 3  # silently consumed
+            # bogus comment: swallowed to the next '>' (handle_comment is
+            # a no-op for the block machine)
+            p = html_text.find(">", i + 2)
+            return n if p == -1 else p + 1
+        g2 = html_text.find(">", nm.end())
+        self.handle_endtag(nm.group(1).lower())
+        return n if g2 == -1 else g2 + 1
+
+    def _handle_gap(self, html_text: str, start: int, end: int) -> int:
+        """Emit gap text, parsing the first '<letter' tag stdlib would
+        accept but _TOKEN could not match (unbalanced quotes make the
+        attrs branch unmatchable, e.g. ``<nav a=b"x>``). Returns the
+        resume position: ``end`` when the gap was pure text, or just past
+        the parsed tag (which may extend BEYOND ``end`` — stdlib's quote
+        spans can swallow text _TOKEN matched)."""
+        handle_data = self.handle_data
+        n = len(html_text)
+        i = start
+        lt = html_text.find("<", i, end)
+        while lt != -1 and not (
+            lt + 1 < n and (html_text[lt + 1] in _ASCII_LETTERS
+                            or html_text[lt + 1] == "/")
+        ):
+            lt = html_text.find("<", lt + 1, end)
+        if lt == -1:
+            data = html_text[i:end]
+            if data:
+                handle_data(unescape(data) if "&" in data else data)
+            return end
+        if lt > i:
+            data = html_text[i:lt]
+            handle_data(unescape(data) if "&" in data else data)
+        if html_text[lt + 1] == "/":
+            return self._stdlib_parse_endtag(html_text, lt)
+        return self._stdlib_parse_starttag(html_text, lt)
+
     def feed(self, html_text: str) -> None:  # noqa: D102
         pos = 0
         n = len(html_text)
         handle_data = self.handle_data
         while pos < n:
             m = _TOKEN.search(html_text, pos)
+            gap_end = m.start() if m is not None else n
+            if gap_end > pos:
+                new_pos = self._handle_gap(html_text, pos, gap_end)
+                if new_pos != gap_end:
+                    pos = new_pos
+                    continue  # a gap-tag consumed text; re-search from here
+                pos = gap_end
             if m is None:
-                data = html_text[pos:]
-                if data:
-                    handle_data(unescape(data) if "&" in data else data)
                 break
-            if m.start() > pos:
-                data = html_text[pos : m.start()]
-                handle_data(unescape(data) if "&" in data else data)
             pos = m.end()
             slash, name, attrs = m.group(1, 2, 3)  # one C call, not three
             if name is None:  # comment / doctype / PI
                 continue
             tag = name.lower()
-            if slash:
-                self.handle_endtag(tag)
-                continue
-            self.handle_starttag(tag, None)
             attrs = attrs or ""
+            if slash:
+                if not attrs or attrs.isspace():
+                    self.handle_endtag(tag)  # the common </tag> fast path
+                else:
+                    # junk/extended name after '</name': stdlib's endtag
+                    # rules differ from _TOKEN's lax attrs match
+                    pos = self._stdlib_parse_endtag(html_text, m.start())
+                continue
+            if attrs and attrs[0] not in " \t\n\r\f/":
+                # stdlib's tag-NAME charset is wider than _TOKEN's
+                # ([a-zA-Z][^\s/>\x00]* — <p=x> is one tag named "p=x"):
+                # a non-separator right after the name means the names
+                # disagree — defer to the port
+                pos = self._stdlib_parse_starttag(html_text, m.start())
+                continue
+            if '"' in attrs or "'" in attrs:
+                # quotes can make stdlib's boundary differ from _TOKEN's
+                # (a quote abutting or swallowed by an unquoted value:
+                # <p a=b"x>y">, <td x=  a='p>q'>). Check with stdlib's own
+                # locator; on disagreement, defer entirely to the port.
+                j = _LOCATE_END.match(html_text, m.start()).end()
+                agrees = (
+                    j == m.end() - 1 and html_text[j] == ">"
+                ) or (
+                    j == m.end() - 2
+                    and html_text.startswith("/>", j)
+                )
+                if not agrees:
+                    pos = self._stdlib_parse_starttag(html_text, m.start())
+                    continue
+            self.handle_starttag(tag, None)
             # XHTML self-closing: stdlib HTMLParser routes these through
             # handle_startendtag (start + end) unless the "/" is part of an
             # unquoted attribute value — the exact rule lives in

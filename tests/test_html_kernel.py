@@ -221,9 +221,10 @@ def test_fast_tokenizer_matches_stdlib_on_self_closing_tags():
 
 
 def test_fast_tokenizer_matches_stdlib_fuzzed_attrs():
-    """Randomized attribute soup: the fast tokenizer must agree with the
-    stdlib twin on every generated page (the strongest guard against
-    self-closing / attr-value edge-case drift)."""
+    """Adversarial tag soup: the fast tokenizer must agree with the stdlib
+    twin on every generated page — self-closing edges, quotes abutting or
+    swallowed by unquoted values, unbalanced quotes, junk end tags, bogus
+    comments, and stdlib's wider tag-name charset all included."""
     import random
 
     from gemini_ocr_batch_spark.kernels.html_extract import (
@@ -231,25 +232,34 @@ def test_fast_tokenizer_matches_stdlib_fuzzed_attrs():
         segment_blocks_stdlib,
     )
 
-    rng = random.Random(101)
-    tags = ["p", "div", "a", "nav", "td", "iframe", "span", "li", "svg"]
+    rng = random.Random(1234)
+    tags = ["p", "div", "a", "nav", "td", "iframe", "span", "li", "svg",
+            "script", "header", "h1", "ul"]
     attr_bits = [
-        "", " x", " x=1", " x=y/z", ' x="a b"', " x='c/d'", " x=", " x= ",
-        " a=1 b", ' a="q=r"', " data-k", " a=b=c", " a/b", ' a="1"b',
+        "", " x", " x=1", ' href="/a/b"', " x=y/z", ' x="a b"', " x='c/d'",
+        " x=", " x= ", " a=1 b", ' a="q=r"', " data-k", " a=b=c", " a/b",
+        ' a="1"b', ' a=b"x', ' a=b"x>y"', " ==", " =x", ' "lone',
+        " a='p>q'", ' a="unclosed', " a=,,1", " a=1,,", " x\t=\n1",
     ]
-    for _ in range(300):
+    extras = [
+        "<!-- c -->", "<!doctype html>", "<?pi x?>", "</ div>", "</>",
+        "<>", "< p>", "&amp;", "&#65;", "&bogus;", "</p.x>", "</div foo>",
+        "</p,>", "<p=x>words</p>", "<li_ x>y</li_>",
+    ]
+    for _ in range(800):
         parts = []
-        for _ in range(rng.randint(3, 12)):
+        for _ in range(rng.randint(1, 10)):
+            if rng.random() < 0.2:
+                parts.append(rng.choice(extras))
             t = rng.choice(tags)
             bits = "".join(
-                rng.choice(attr_bits) for _ in range(rng.randint(0, 2))
+                rng.choice(attr_bits) for _ in range(rng.randint(0, 3))
             )
-            close = rng.choice(["/>", ">", ">"])
-            parts.append(f"<{t}{bits}{close}")
+            parts.append(f"<{t}{bits}{rng.choice(['/>', '>', '>'])}")
             parts.append(
                 rng.choice(
-                    ["some words of body text to fill the block nicely ",
-                     "short", " ", "alpha beta gamma delta epsilon zeta "]
+                    ["words fill the block here nicely with text ",
+                     "x", " ", "a < b & c ", "tail>"]
                 )
             )
             if rng.random() < 0.6:
