@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from gemini_ocr_batch_spark.functions.hashing import h_hex, shingles, tokens
+from gemini_ocr_batch_spark.operators.util import spread_small_input
 
 # ---------------------------------------------------------------------------
 # Exact dedup (hash-groupBy)
@@ -37,7 +38,8 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
     Returns (keep_id, content_hash, group_size) ordered by keep_id.
     """
     return (
-        docs.select(F.col(id_col), h_hex(text_col).alias("content_hash"))
+        spread_small_input(docs)
+        .select(F.col(id_col), h_hex(text_col).alias("content_hash"))
         .groupBy("content_hash")
         .agg(
             F.min(id_col).alias("keep_id"),
@@ -59,7 +61,7 @@ def _doc_shingles(docs: DataFrame, id_col: str, text_col: str,
     that need the actual shingle text (exact Jaccard). Set-dedup happens
     map-side inside the array, so the explode output is already distinct
     per doc and no shuffle-wide ``distinct()`` is needed."""
-    return docs.select(
+    return spread_small_input(docs).select(
         F.col(id_col).alias("doc"),
         F.explode(
             F.array_distinct(shingles(tokens(text_col), n))
@@ -82,7 +84,7 @@ def _doc_shingle_hashes(docs: DataFrame, id_col: str, text_col: str,
     """
     from gemini_ocr_batch_spark.functions.hashing import h60
 
-    return docs.select(
+    return spread_small_input(docs).select(
         F.col(id_col).alias("doc"),
         F.explode(
             F.array_distinct(
@@ -198,8 +200,9 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     from gemini_ocr_batch_spark.functions.hashing import h60
 
     tok = (
-        docs.select(F.col(id_col).alias("doc"),
-                    F.explode(tokens(text_col)).alias("token"))
+        spread_small_input(docs)
+        .select(F.col(id_col).alias("doc"),
+                F.explode(tokens(text_col)).alias("token"))
         .distinct()
         .select("doc", h60(F.col("token")).alias("th"))
     )

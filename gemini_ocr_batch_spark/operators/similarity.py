@@ -23,6 +23,8 @@ import random
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from gemini_ocr_batch_spark.operators.util import spread_small_input
+
 
 def _dot(a, b):  # Column helpers
     return F.aggregate(
@@ -54,7 +56,7 @@ def brute_force_topk(
     Returns (id, rank, cosine) — deterministic tie-break by id.
     """
     q = F.array(*[F.lit(float(v)) for v in query_vec])
-    scored = embeddings.select(
+    scored = spread_small_input(embeddings).select(
         F.col(id_col),
         cosine_col(F.col(vec_col).cast("array<double>"), q),
     )
@@ -105,7 +107,7 @@ def lsh_topk(
     dim = len(query_vec)
     planes = hyperplanes(dim, n_planes, seed)
     vec_d = F.col(vec_col).cast("array<double>")
-    with_bucket = embeddings.select(
+    with_bucket = spread_small_input(embeddings).select(
         F.col(id_col), vec_d.alias("v"), lsh_bucket_col(vec_d, planes).alias("bucket")
     )
     # driver-side: the query's bucket (pure python, same construction)
@@ -144,7 +146,7 @@ def embedding_near_dup_pairs(
     dim = len(first[0]) if first else 0
     planes = hyperplanes(dim, n_planes, seed)
     vec_d = F.col(vec_col).cast("array<double>")
-    with_bucket = embeddings.select(
+    with_bucket = spread_small_input(embeddings).select(
         F.col(id_col).alias("id"),
         vec_d.alias("v"),
         lsh_bucket_col(vec_d, planes).alias("bucket"),

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from gemini_ocr_batch_spark.functions.hashing import h_hex, tokens
+from gemini_ocr_batch_spark.operators.util import spread_small_input
 
 # Tiny per-language marker lexicons (n-gram-heuristic language ID — the
 # classic stopword-profile method, cf. Cavnar & Trenkle 1994). Deliberately
@@ -160,4 +161,6 @@ def winnow_fingerprints(docs: DataFrame, id_col: str = "doc_id",
                 }
             )
 
-    return docs.select(id_col, text_col).mapInPandas(batches, out_schema)
+    return spread_small_input(docs.select(id_col, text_col)).mapInPandas(
+        batches, out_schema
+    )
