@@ -154,9 +154,11 @@ def main(argv: list[str] | None = None) -> int:
         from gemini_ocr_batch_spark.config import (
             ConfigError,
             load_config,
+            load_dotenv,
             resolve_config_path,
         )
 
+        load_dotenv(".env")  # same resolution order as `run`
         cfg = None
         cfg_path = resolve_config_path(args.config)
         if cfg_path:

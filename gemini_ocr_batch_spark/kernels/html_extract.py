@@ -64,6 +64,7 @@ MIN_HEADING_WORDS = 1
 _DOT_RUN = re.compile(r"\.{6,}")
 
 
+
 def _normalize_text(raw: str) -> str:
     """Whitespace-collapse + dot-run squeeze.
 
@@ -171,11 +172,15 @@ class _BlockParser(HTMLParser):
             return
         blk = self._current
         blk.parts.append(data)
-        # RAW length, deliberately: the feature must be invariant to how
-        # the tokenizer chunks a text run into handle_data calls (the two
-        # tokenizer twins chunk differently around bare '<'), and
-        # len(data.strip()) per chunk is not
-        n = len(data)
+        # non-whitespace count: invariant to how the tokenizer chunks a
+        # text run into handle_data calls (the two twins chunk differently
+        # around bare '<' — len(data.strip()) per chunk is not invariant)
+        # AND insensitive to indentation (raw len(data) would let
+        # whitespace dilute link density). Three memchr-speed count()
+        # passes beat a translate() copy ~2x on this hot path; \r\f\v
+        # are rare enough to count as chars (consistently in both twins).
+        n = (len(data) - data.count(" ") - data.count("\n")
+             - data.count("\t"))
         blk.total_chars += n
         if self._anchor_depth:
             blk.link_chars += n
@@ -210,9 +215,13 @@ _TOKEN = re.compile(
     re.DOTALL | re.VERBOSE,
 )
 
-# stdlib HTMLParser treats these as CDATA: raw text until the literal close
+# stdlib HTMLParser treats these as CDATA: raw text until the close pattern
+# set_cdata_mode installs — r'</\s*tag\s*>' exactly, so '</script foo>' does
+# NOT close the element and '</ script >' DOES (html/parser.py:122-124)
 _CDATA_TAGS = {"script", "style"}
-_CDATA_CLOSE = {t: re.compile(f"</{t}", re.IGNORECASE) for t in _CDATA_TAGS}
+_CDATA_CLOSE = {
+    t: re.compile(rf"</\s*{t}\s*>", re.IGNORECASE) for t in _CDATA_TAGS
+}
 
 
 # The authoritative tag-boundary scanners are stdlib's OWN module-level
@@ -226,6 +235,18 @@ from html.parser import (  # noqa: E402 - intentionally after stdlib import
 )
 
 _ASCII_LETTERS = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+
+
+def _recovery_end(html_text: str, i: int) -> int:
+    """stdlib goahead's incomplete-construct recovery (html/parser.py
+    goahead, the k<0 branch at end-of-input): the text from ``i`` through
+    the next '>' (inclusive) is data; failing that, up to the next '<';
+    failing that, one character."""
+    k = html_text.find(">", i + 1)
+    if k >= 0:
+        return k + 1
+    k = html_text.find("<", i + 1)
+    return k if k >= 0 else i + 1
 
 
 def _attrs_self_closing(attrs: str) -> bool:
@@ -301,11 +322,13 @@ class _FastBlockParser(_BlockParser):
         elif nxt == "/" and html_text.startswith("/>", j):
             endpos = j + 2
         elif nxt == "" or nxt in _ASCII_LETTERS or nxt in "=/":
-            # incomplete at end of input: stdlib's goahead emits the text
-            # through the next '>' (or just '<' when none) as data; the
-            # equivalent here is '<' + resume (the rest re-scans as text)
-            handle_data("<")
-            return i + 1
+            # incomplete at end of input: stdlib's goahead recovery emits
+            # everything through the next '>' (inclusive) as ONE data run
+            # and resumes scanning there — tags inside that span are data
+            k = _recovery_end(html_text, i)
+            data = html_text[i:k]
+            handle_data(unescape(data) if "&" in data else data)
+            return k
         else:
             endpos = j if j > i else i + 1
         tm = _TAGFIND.match(html_text, i + 1)
@@ -332,9 +355,8 @@ class _FastBlockParser(_BlockParser):
             close = _CDATA_CLOSE[tag].search(html_text, endpos)
             if close is None:
                 return n  # unterminated script/style: rest is raw cdata
-            gt = html_text.find(">", close.end())
             self.handle_endtag(tag)
-            return n if gt == -1 else gt + 1
+            return close.end()  # the pattern includes the closing '>'
         return endpos
 
     def _stdlib_parse_endtag(self, html_text: str, i: int) -> int:
@@ -346,9 +368,12 @@ class _FastBlockParser(_BlockParser):
         n = len(html_text)
         gt = html_text.find(">", i + 1)
         if gt == -1:
-            # incomplete at end of input: '<' is data, rest re-scans
-            self.handle_data("<")
-            return i + 1
+            # incomplete at end of input: goahead recovery (data through
+            # the next '<', or one char)
+            k = _recovery_end(html_text, i)
+            data = html_text[i:k]
+            self.handle_data(unescape(data) if "&" in data else data)
+            return k
         m = _ENDTAGFIND.match(html_text, i)  # </ + name + >
         if m:
             self.handle_endtag(m.group(1).lower())
@@ -401,16 +426,37 @@ class _FastBlockParser(_BlockParser):
             m = _TOKEN.search(html_text, pos)
             gap_end = m.start() if m is not None else n
             if gap_end > pos:
-                new_pos = self._handle_gap(html_text, pos, gap_end)
-                if new_pos != gap_end:
-                    pos = new_pos
-                    continue  # a gap-tag consumed text; re-search from here
-                pos = gap_end
+                # common case inlined: plain text with no stray '<' inside
+                if html_text.find("<", pos, gap_end) == -1:
+                    data = html_text[pos:gap_end]
+                    handle_data(unescape(data) if "&" in data else data)
+                    pos = gap_end
+                else:
+                    new_pos = self._handle_gap(html_text, pos, gap_end)
+                    if new_pos != gap_end:
+                        pos = new_pos
+                        continue  # a gap-tag consumed text; re-search here
+                    pos = gap_end
             if m is None:
                 break
             pos = m.end()
             slash, name, attrs = m.group(1, 2, 3)  # one C call, not three
-            if name is None:  # comment / doctype / PI
+            if name is None:  # comment / doctype / PI / marked section
+                tok = html_text[m.start() : m.end()]
+                if tok.startswith("<!--"):
+                    done = len(tok) >= 7 and tok.endswith("-->")
+                elif tok.startswith("<![CDATA["):
+                    done = tok.endswith("]]>")
+                else:
+                    done = tok.endswith(">")
+                if not done:
+                    # unterminated construct: stdlib's goahead recovery
+                    # emits through the next '>' as data and KEEPS parsing
+                    # (the _TOKEN alternative swallowed to EOF)
+                    k = _recovery_end(html_text, m.start())
+                    data = html_text[m.start() : k]
+                    handle_data(unescape(data) if "&" in data else data)
+                    pos = k
                 continue
             tag = name.lower()
             attrs = attrs or ""
@@ -457,9 +503,8 @@ class _FastBlockParser(_BlockParser):
                 close = _CDATA_CLOSE[tag].search(html_text, pos)
                 if close is None:
                     break  # unterminated script/style: rest is raw, skipped
-                gt = html_text.find(">", close.end())
                 self.handle_endtag(tag)
-                pos = n if gt == -1 else gt + 1
+                pos = close.end()  # the pattern includes the closing '>'
 
     def close(self) -> None:  # noqa: D102
         self._flush()

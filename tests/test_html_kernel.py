@@ -245,6 +245,12 @@ def test_fast_tokenizer_matches_stdlib_fuzzed_attrs():
         "<!-- c -->", "<!doctype html>", "<?pi x?>", "</ div>", "</>",
         "<>", "< p>", "&amp;", "&#65;", "&bogus;", "</p.x>", "</div foo>",
         "</p,>", "<p=x>words</p>", "<li_ x>y</li_>",
+        # unterminated constructs: the _TOKEN alternatives swallow to EOF,
+        # stdlib's goahead recovery re-emits through the next '>' and
+        # keeps parsing — these shapes must stay covered
+        "<!-- open comment ", "<! decl ", "<? pi ", "<![CDATA[ raw ",
+        "<!-->", "<script>var a=1;</script foo> leaked",
+        "<script>var b=2;</ script > after", '<p a="x\n',
     ]
     for _ in range(800):
         parts = []
