@@ -62,6 +62,17 @@ class CheckpointConflict(RuntimeError):
 LOCAL_MERGE_MAX_ROWS = 2_000_000
 
 
+def _sql_str(path: str) -> str:
+    """A filesystem path as a DuckDB single-quoted string literal.
+
+    read_parquet list args and COPY ... TO targets cannot be bound as
+    prepared-statement parameters, so paths are interpolated — doubling
+    embedded quotes keeps a path like ``/data/o'brien`` from producing
+    malformed SQL.
+    """
+    return "'" + path.replace("'", "''") + "'"
+
+
 def _bucket_col(n_buckets: int):
     """bucket = (60-bit md5 prefix of url) % B.
 
@@ -401,6 +412,66 @@ class ParquetCheckpointStore:
 
         self._merge_bucketed(delta, combine)
 
+    def all_terminal_local(self, staged_path: str) -> bool | None:
+        """Are ALL of a staged pass dir's keys already terminal
+        (success/dead) in the checkpoint?
+
+        Used by reconcile to recognize pass dirs that were merged by code
+        predating the ``_MERGED`` marker: replaying those would double-count
+        attempts for failed keys — and worse, a failure staged in pass K
+        whose key succeeded in pass K+n would DOWNGRADE success back to
+        failed. A pass whose every key is terminal can be stamped merged
+        without replaying (terminal states never transition). Returns None
+        when undeterminable (non-local store, no duckdb) — caller falls
+        back to replaying, the pre-existing documented behavior.
+        """
+        if not (os.path.isdir(self.root) and os.path.isdir(staged_path)):
+            return None
+        try:
+            import duckdb
+        except ImportError:
+            return None
+        import glob as globmod
+
+        staged_glob = os.path.join(staged_path, "**", "*.parquet")
+        if not globmod.glob(staged_glob, recursive=True):
+            return True  # empty pass: vacuously merged
+        base = self._manifest()
+        if not base:
+            return False  # no checkpoint at all -> nothing is terminal
+        con = duckdb.connect()
+        try:
+            bucket_sql = (
+                f"(('0x' || substr(md5(url), 1, 15))::BIGINT "
+                f"% {self.n_buckets})::INT"
+            )
+            touched = sorted(
+                r[0]
+                for r in con.execute(
+                    f"SELECT DISTINCT {bucket_sql} FROM read_parquet(?)",
+                    [staged_glob],
+                ).fetchall()
+            )
+            old_paths = self._bucket_paths(base, touched)
+            if not old_paths:
+                return False
+            globs = ", ".join(
+                _sql_str(os.path.join(p, "*.parquet")) for p in old_paths
+            )
+            n_open = con.execute(
+                f"""
+                SELECT count(*) FROM read_parquet(?) s
+                LEFT JOIN read_parquet([{globs}]) t
+                  ON s.url = t.url AND s.warc_ts = t.warc_ts
+                WHERE t.url IS NULL
+                   OR t.status NOT IN ('{STATUS_SUCCESS}', '{STATUS_DEAD}')
+                """,
+                [staged_glob],
+            ).fetchone()[0]
+            return n_open == 0
+        finally:
+            con.close()
+
     def merge_results_local(self, staged_path: str,
                             max_rows: int = LOCAL_MERGE_MAX_ROWS) -> bool:
         """Driver-side MERGE fast path for small passes on a local fs.
@@ -456,10 +527,12 @@ class ParquetCheckpointStore:
             )
             old_paths = self._bucket_paths(base, touched) if base else []
             if old_paths:
-                globs = [os.path.join(p, "*.parquet") for p in old_paths]
+                globs = ", ".join(
+                    _sql_str(os.path.join(p, "*.parquet")) for p in old_paths
+                )
                 old_sql = (
                     "SELECT url, warc_ts, status, attempts, last_error, "
-                    f"updated_at FROM read_parquet({globs!r})"
+                    f"updated_at FROM read_parquet([{globs}])"
                 )
             else:
                 old_sql = (
@@ -477,7 +550,7 @@ class ParquetCheckpointStore:
                 COPY (
                   WITH delta AS (
                     SELECT url, warc_ts, error_type
-                    FROM read_parquet('{staged_glob}')
+                    FROM read_parquet({_sql_str(staged_glob)})
                   ),
                   old AS ({old_sql})
                   SELECT
@@ -499,7 +572,7 @@ class ParquetCheckpointStore:
                   FROM old o
                   FULL OUTER JOIN delta d
                     ON o.url = d.url AND o.warc_ts = d.warc_ts
-                ) TO '{out_dir}'
+                ) TO {_sql_str(out_dir)}
                 (FORMAT PARQUET, PARTITION_BY (bucket),
                  OVERWRITE_OR_IGNORE true)
                 """
@@ -641,6 +714,11 @@ class IcebergCheckpointStore:
         the job falls through to the MERGE INTO."""
         return False
 
+    def all_terminal_local(self, staged_path: str) -> bool | None:
+        """Undeterminable driver-side for a remote table — reconcile falls
+        back to replaying the pass (MERGE is idempotent for success keys)."""
+        return None
+
     def mark_running(self, keys: DataFrame) -> None:
         """Inflight visibility via MERGE (same semantics as the Parquet
         twin: never demotes success/dead, no lease)."""
@@ -701,6 +779,7 @@ def merge_sql(table: str, max_retries: int) -> str:
                 ON t.url = s.url AND t.warc_ts = s.warc_ts
                 WHEN MATCHED AND s.error_type IS NULL THEN UPDATE SET
                     t.status = '{STATUS_SUCCESS}',
+                    t.attempts = t.attempts + 1,
                     t.updated_at = current_timestamp()
                 WHEN MATCHED THEN UPDATE SET
                     t.status = CASE WHEN t.attempts + 1 >= {max_retries}

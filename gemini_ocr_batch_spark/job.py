@@ -161,21 +161,40 @@ def _reconcile_orphans(
     success keys; for failure keys a crash exactly between merge and marker
     can double-count one attempt (biases toward earlier dead-letter, never
     data loss). Returns the number of reconciled pass dirs.
+
+    Upgrade path (pass dirs written by pre-``_MERGED`` code, which merged
+    every pass but stamped nothing): a pass whose keys are ALL already
+    terminal in the checkpoint is stamped without replaying — replaying
+    would double-count attempts and could downgrade a later success back
+    to failed. Only passes with open (non-terminal/absent) keys — the
+    genuine crash-window shape — are merged.
     """
     n = 0
     if not os.path.isdir(all_path):
         return n
+
+    def _pass_key(d: str):
+        try:
+            return int(d.split("=", 1)[1])
+        except (IndexError, ValueError):
+            return 1 << 62
+
     for run_dir in sorted(os.listdir(all_path)):
         run_path = os.path.join(all_path, run_dir)
         if not (run_dir.startswith("run_id=") and os.path.isdir(run_path)):
             continue
-        for pass_dir in sorted(os.listdir(run_path)):
+        # numeric pass order: lexicographic would replay pass_num=10
+        # before pass_num=2, re-ordering the transition sequence
+        for pass_dir in sorted(os.listdir(run_path), key=_pass_key):
             pass_path = os.path.join(run_path, pass_dir)
             if not (
                 pass_dir.startswith("pass_num=") and os.path.isdir(pass_path)
             ):
                 continue
             if os.path.exists(os.path.join(pass_path, _MERGED)):
+                continue
+            if store.all_terminal_local(pass_path):
+                _touch(os.path.join(pass_path, _MERGED))
                 continue
             if not store.merge_results_local(pass_path):
                 staged = spark.read.schema(STAGED_SCHEMA).parquet(pass_path)
@@ -379,11 +398,20 @@ def with_prev_context(extracted: DataFrame, tail_chars: int = 500) -> DataFrame:
     window being a streaming frame (no buffering beyond one row of state
     per partition in the lag frame); a corpus-dominating single domain
     would warrant a composite key (domain, path-prefix) instead.
+
+    Relative/malformed URLs parse to a NULL host; left as-is they would
+    all collapse into ONE window partition (skew) and chain prev_context
+    across unrelated documents — so domain falls back to the full url,
+    making each null-host row its own single-row partition (prev_context
+    stays NULL, matching "first page of its site" semantics).
     """
     w = Window.partitionBy("domain").orderBy("warc_ts", "url")
     return (
         extracted.withColumn(
-            "domain", F.parse_url(F.col("url"), F.lit("HOST"))
+            "domain",
+            F.coalesce(
+                F.parse_url(F.col("url"), F.lit("HOST")), F.col("url")
+            ),
         ).withColumn(
             "prev_context",
             F.lag(F.expr(f"right(extracted_text, {int(tail_chars)})")).over(w),

@@ -36,9 +36,15 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
     """One row per distinct text: representative id (min) + group size.
 
     Returns (keep_id, content_hash, group_size) ordered by keep_id.
+
+    No ``spread_small_input`` here (unlike the shingling operators): the
+    map is a single md5 per row, cheaper than shuffling full text rows to
+    spread it — only the 40-byte (id, digest) projection ever crosses the
+    groupBy shuffle, preserving this module's "text never shuffles" rule.
+    (r2 bench regression: the spread cost +65% on dedup_exact.)
     """
     return (
-        spread_small_input(docs)
+        docs
         .select(F.col(id_col), h_hex(text_col).alias("content_hash"))
         .groupBy("content_hash")
         .agg(

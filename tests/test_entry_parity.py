@@ -52,10 +52,25 @@ def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
 
 ORACLES = entrymod.oracle_sql()
 QUERIES = entrymod.queries()
+for _name, (_fn, _sql) in entrymod.local_parity().items():
+    # Local-only pairs ride the same parity gate but are not registered
+    # with the driver (its correctness harness records at most 50 rows).
+    assert _name not in QUERIES
+    QUERIES[_name] = _fn
+    ORACLES[_name] = _sql
 
 
 def test_every_oracle_has_a_query():
     assert set(ORACLES) <= set(QUERIES)
+
+
+def test_driver_registry_capped_at_50():
+    # The driver's correctness harness silently drops entries past 50
+    # (observed in round 2: 51 registered -> 50 CORRECTNESS rows, losing
+    # the only S4 check).  Pin the registry size so every registered
+    # query is guaranteed a correctness row.
+    assert len(entrymod.queries()) == 50
+    assert "asset_metadata" in entrymod.queries()
 
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
@@ -66,6 +81,22 @@ def test_oracle_parity(spark, sf_dir, ddb, name):
         f"{name}: row count {len(spark_pdf)} vs oracle {len(duck_pdf)}"
     )
     assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), name
+    # Strict dtype gate BEFORE normalization: the driver's value-hash is
+    # type-sensitive, and DuckDB silently widens aggregates (sum(BIGINT)
+    # -> HUGEINT, which pandas receives as float64/object).  _normalize's
+    # astype("int64") would mask that drift — this class of bug escaped to
+    # the driver in r1 (sessionize) and r2 (source_stats).  Fail here if
+    # the oracle column leaves the integer family while Spark stays in it.
+    for c in spark_pdf.columns:
+        s_int = pd.api.types.is_integer_dtype(spark_pdf[c])
+        d_int = pd.api.types.is_integer_dtype(duck_pdf[c])
+        if s_int and not d_int:
+            raise AssertionError(
+                f"{name}.{c}: Spark yields {spark_pdf[c].dtype} but the "
+                f"DuckDB oracle yields {duck_pdf[c].dtype} — likely a "
+                "HUGEINT/DOUBLE widening; add an explicit CAST(... AS "
+                "BIGINT) in the oracle SQL (driver hash is type-sensitive)"
+            )
     a, b = _normalize(spark_pdf), _normalize(duck_pdf)
     pd.testing.assert_frame_equal(a, b, check_dtype=False, atol=1e-6,
                                   obj=name)

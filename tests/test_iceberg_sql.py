@@ -41,6 +41,10 @@ def test_merge_sql_transitions():
     second_matched = sql.index("WHEN MATCHED THEN UPDATE SET t.status = CASE")
     assert first_matched < second_matched
     assert "t.status = 'success'" in sql
+    # success ALSO bumps attempts so all three twin merge paths (Iceberg,
+    # Spark-Parquet, DuckDB-local) report identical cumulative counters
+    assert ("WHEN MATCHED AND s.error_type IS NULL THEN UPDATE SET "
+            "t.status = 'success', t.attempts = t.attempts + 1") in sql
     # failure transition: attempts+1, dead-letter once attempts+1 >= max
     assert "CASE WHEN t.attempts + 1 >= 3 THEN 'dead' ELSE 'failed' END" in sql
     assert "t.attempts = t.attempts + 1" in sql

@@ -112,6 +112,60 @@ def test_crash_between_promote_and_merge_reconciles(spark, tmp_path):
     assert not os.path.isdir(run_b) or os.listdir(run_b) == []
 
 
+def test_upgrade_from_premarker_passes_stamps_without_remerge(spark, tmp_path):
+    """ADVICE r2: pass dirs written by pre-_MERGED code were already merged;
+    reconcile must recognize their keys as terminal and stamp the marker
+    WITHOUT replaying — replaying would double-count attempts for dead
+    keys (earlier dead-letter) and could downgrade success back to failed."""
+    out = str(tmp_path / "out")
+    pages = _mixed_pages(spark)
+    run_extraction_job(spark, pages, out, run_id="oldrun", max_retries=2)
+    store = ParquetCheckpointStore(os.path.join(out, "checkpoint"),
+                                   max_retries=2)
+    before = {
+        (r["url"]): (r["status"], r["attempts"])
+        for r in store.read(spark).collect()
+    }
+    assert any(s == "dead" for s, _ in before.values())
+    # simulate the upgrade: markers did not exist when these passes landed
+    run_dir = os.path.join(out, "extracted_all", "run_id=oldrun")
+    markers = []
+    for pass_dir in os.listdir(run_dir):
+        m = os.path.join(run_dir, pass_dir, "_MERGED")
+        if os.path.exists(m):
+            os.remove(m)
+            markers.append(m)
+    assert markers
+
+    res = run_extraction_job(spark, pages, out, run_id="newrun",
+                             max_retries=2)
+    assert res.extracted_rows == 0  # frontier empty: nothing re-extracted
+    after = {
+        (r["url"]): (r["status"], r["attempts"])
+        for r in store.read(spark).collect()
+    }
+    assert after == before  # no attempt double-count, no status change
+    for m in markers:
+        assert os.path.exists(m)  # stamped, so the probe runs only once
+
+
+def test_all_terminal_local_detects_open_keys(spark, tmp_path):
+    """The reconcile probe: False while a staged key is absent/non-terminal
+    in the checkpoint, True once every staged key is success/dead."""
+    out = str(tmp_path / "out")
+    pages = _good_pages(spark, n=6)
+    run_extraction_job(spark, pages, out, run_id="runA")
+    store = ParquetCheckpointStore(os.path.join(out, "checkpoint"))
+    pass_dir = os.path.join(out, "extracted_all", "run_id=runA",
+                            "pass_num=0")
+    assert store.all_terminal_local(pass_dir) is True
+    # roll back two keys -> pass has open keys again
+    ckpt = store.read(spark)
+    forget = ckpt.limit(2).select("url", "warc_ts")
+    store.overwrite(ckpt.join(forget, ["url", "warc_ts"], "left_anti"))
+    assert store.all_terminal_local(pass_dir) is False
+
+
 def test_half_written_staging_is_discarded(spark, tmp_path):
     """A staging dir left by a crash mid-write is wiped at job start and
     never becomes visible to read_extracted."""

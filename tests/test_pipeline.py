@@ -155,6 +155,32 @@ def test_prev_context_view(spark, pages_df, tmp_path):
             assert cur["prev_context"] == (prev["extracted_text"] or "")[-100:]
 
 
+def test_prev_context_null_host_rows_stay_isolated(spark):
+    """Relative/malformed URLs (NULL host) must NOT collapse into one
+    window partition — each falls back to its own url-keyed partition, so
+    prev_context never chains across unrelated documents."""
+    import datetime
+
+    from gemini_ocr_batch_spark.job import with_prev_context
+
+    ts = datetime.datetime(2024, 1, 1)
+    rows = [
+        ("relative/path/a.html", ts, "text a"),
+        ("relative/path/b.html", ts, "text b"),
+        ("https://ok.example.com/1", ts, "text c"),
+        ("https://ok.example.com/2", ts, "text d"),
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp, "
+                                     "extracted_text string")
+    out = {r["url"]: r for r in with_prev_context(df, 100).collect()}
+    # null-host rows: domain falls back to the full url; no chaining
+    assert out["relative/path/a.html"]["domain"] == "relative/path/a.html"
+    assert out["relative/path/a.html"]["prev_context"] is None
+    assert out["relative/path/b.html"]["prev_context"] is None
+    # well-formed rows still chain within their host
+    assert out["https://ok.example.com/2"]["prev_context"] == "text c"
+
+
 def test_salting_spreads_partitions(spark, pages_df):
     """Salted repartition: extracted rows span many partitions and giant
     blobs do not pile into one."""
