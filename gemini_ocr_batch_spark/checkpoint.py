@@ -117,6 +117,29 @@ class ParquetCheckpointStore:
     reference: src/database.py:128-145.)
     """
 
+    # target rows per bucket file when sizing a new store: keeps a bucket
+    # rewrite (read + full rewrite of touched buckets) around a few hundred
+    # MB of parquet — small enough to merge driver-side or in one task,
+    # large enough that the manifest stays a tiny JSON map.
+    ROWS_PER_BUCKET = 250_000_000
+
+    @classmethod
+    def recommended_buckets(cls, expected_keys: int) -> int:
+        """Power-of-two bucket count for an expected key population.
+
+        The sandbox default (B=16) is sized for test corpora; a real
+        deployment sizes B ONCE at store creation from the expected corpus
+        (the manifest then owns the value for the store's lifetime — the
+        md5-bucket assignment is stable, so B cannot change without a full
+        rewrite). At 10^12 keys this yields B=4096: each merge rewrites
+        only O(touched) of those, so merge cost tracks the delta size, not
+        the corpus.
+        """
+        b = 1
+        while b * cls.ROWS_PER_BUCKET < expected_keys and b < (1 << 20):
+            b *= 2
+        return b
+
     def __init__(self, root: str, max_retries: int = 3,
                  n_buckets: int = 16) -> None:
         self.root = root

@@ -94,3 +94,19 @@ def test_random_histories_match_model(spark, tmp_path):
             1 for s, _a, _e in model.values() if s not in ("success", "dead")
         ) + (len(urls) - len(model))
         assert pending == n_open
+
+
+def test_recommended_buckets_scaling():
+    """B sizing: sandbox corpora stay tiny; 10^12 keys -> 4096 buckets
+    (the module-docstring deployment recipe), always a power of two, and
+    merge cost therefore tracks touched buckets, not corpus size."""
+    from gemini_ocr_batch_spark.checkpoint import ParquetCheckpointStore as S
+
+    assert S.recommended_buckets(1_000) == 1
+    assert S.recommended_buckets(S.ROWS_PER_BUCKET) == 1
+    assert S.recommended_buckets(S.ROWS_PER_BUCKET + 1) == 2
+    assert S.recommended_buckets(10**12) == 4096
+    for n in (0, 1, 10**9, 10**12, 10**15):
+        b = S.recommended_buckets(n)
+        assert b & (b - 1) == 0  # power of two
+    assert S.recommended_buckets(10**30) == 1 << 20  # hard cap
