@@ -207,8 +207,20 @@ def main() -> int:
         "its own memory bus, so the ceiling does not apply.",
         "",
     ]
+    # preserve manually-maintained analysis sections (gap attribution,
+    # methodology notes) below the marker — only the auto table is ours
+    marker = "<!-- MANUAL SECTIONS BELOW: preserved by bench_scaling.py -->"
+    manual = ""
+    try:
+        old = open("/root/repo/BENCH.md", encoding="utf-8").read()
+        if marker in old:
+            manual = old[old.index(marker):]
+    except FileNotFoundError:
+        pass
     with open("/root/repo/BENCH.md", "w", encoding="utf-8") as f:
         f.write("\n".join(lines))
+        if manual:
+            f.write("\n" + manual)
     return 0
 
 

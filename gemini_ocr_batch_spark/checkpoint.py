@@ -537,18 +537,26 @@ class ParquetCheckpointStore:
                 return False
             base = self._manifest()
             n_b = self.n_buckets
-            # the exact duckdb twin of _bucket_col's h60(url) % B
-            bucket_sql = (
-                f"(('0x' || substr(md5(url), 1, 15))::BIGINT % {n_b})::INT"
-            )
-            touched = sorted(
-                r[0]
-                for r in con.execute(
-                    f"SELECT DISTINCT {bucket_sql} "
-                    f"FROM read_parquet(?)", [staged_glob]
-                ).fetchall()
-            )
-            old_paths = self._bucket_paths(base, touched) if base else []
+            if base and base.get("buckets"):
+                # the exact duckdb twin of _bucket_col's h60(url) % B
+                bucket_sql = (
+                    f"(('0x' || substr(md5(url), 1, 15))::BIGINT"
+                    f" % {n_b})::INT"
+                )
+                touched = sorted(
+                    r[0]
+                    for r in con.execute(
+                        f"SELECT DISTINCT {bucket_sql} "
+                        f"FROM read_parquet(?)", [staged_glob]
+                    ).fetchall()
+                )
+                old_paths = self._bucket_paths(base, touched)
+            else:
+                # fresh store: no old buckets can exist, so skip the
+                # touched-bucket pre-scan — it would re-read every staged
+                # url only to look up paths in an empty mapping (the
+                # first/biggest pass of every run pays this)
+                old_paths = []
             if old_paths:
                 globs = ", ".join(
                     _sql_str(os.path.join(p, "*.parquet")) for p in old_paths

@@ -61,34 +61,56 @@ def lineage_rows_local(staged_path: str, run_id: str, pass_num: int,
     """
     import pyarrow.dataset as pads
 
-    ds = pads.dataset(staged_path, format="parquet")
+    ds = pads.dataset(staged_path, format="parquet", partitioning="hive")
     if "partition_id" not in ds.schema.names:
         return []  # empty pass: zero data files were written
     if ds.count_rows() > max_rows:
         return None  # too big for one driver: use the Spark aggregation
-    pdf = (
-        ds
-        .to_table(
-            columns=["partition_id", "error_type", "bytes_in", "kernel_ns"]
-        )
-        .to_pandas()
+    # Only the three int64 telemetry columns are read from data pages; the
+    # failure count comes from the hive `is_ok` partition field (free —
+    # decoded from directory names), so the error_type STRING column never
+    # leaves disk. Aggregation is pyarrow-native (C++), no pandas layer.
+    tbl = ds.to_table(
+        columns=["partition_id", "bytes_in", "kernel_ns", "is_ok"]
     )
-    if pdf.empty:
+    if tbl.num_rows == 0:
         return []
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    bad = pc.if_else(
+        pc.equal(tbl.column("is_ok").cast(pa.string()), "false"),
+        pa.scalar(1, pa.int64()),
+        pa.scalar(0, pa.int64()),
+    )
+    tbl = tbl.drop_columns(["is_ok"]).append_column("is_bad", bad)
+    agg = (
+        pa.TableGroupBy(tbl, "partition_id")
+        .aggregate(
+            [
+                ("partition_id", "count"),
+                ("is_bad", "sum"),
+                ("bytes_in", "sum"),
+                ("kernel_ns", "sum"),
+            ]
+        )
+        .sort_by("partition_id")
+    )
     now = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
     rows = []
-    for pid, grp in pdf.groupby("partition_id", sort=True):
-        n_bad = int(grp["error_type"].notna().sum())
+    for rec in agg.to_pylist():
+        n = int(rec["partition_id_count"])
+        n_bad = int(rec["is_bad_sum"])
         rows.append(
             {
                 "run_id": run_id,
                 "pass_num": int(pass_num),
-                "partition_id": int(pid),
-                "row_count": int(len(grp)),
-                "success_count": int(len(grp)) - n_bad,
+                "partition_id": int(rec["partition_id"]),
+                "row_count": n,
+                "success_count": n - n_bad,
                 "failure_count": n_bad,
-                "bytes_in": int(grp["bytes_in"].sum()),
-                "kernel_wall_ms": float(grp["kernel_ns"].sum()) / 1e6,
+                "bytes_in": int(rec["bytes_in_sum"]),
+                "kernel_wall_ms": float(rec["kernel_ns_sum"]) / 1e6,
                 "extractor_version": EXTRACTOR_VERSION,
                 "started_at": now,
             }

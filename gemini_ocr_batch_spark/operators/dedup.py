@@ -20,7 +20,7 @@ Scale notes (the point of each design):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from gemini_ocr_batch_spark.functions.hashing import h_hex, shingles, tokens
@@ -327,3 +327,99 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
         .filter(F.col("jaccard") >= threshold)
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate components: pairs → clusters → keep-list
+# ---------------------------------------------------------------------------
+# The LSH/simhash operators above emit candidate PAIRS; production dedup
+# needs the transitive closure — "these 7 docs are all one document" — and
+# one representative per cluster. This is connected components over the
+# pair graph, computed as iterated min-label propagation:
+#
+#   label(v) ← min(label(v), min over neighbors u of label(u))
+#
+# Each round is one 8-byte-key shuffle (join + groupBy min); labels only
+# ever decrease, so sum(label) is a strictly decreasing convergence
+# measure and the loop exits the first round nothing changes. Rounds
+# needed = graph diameter. For near-dup graphs that is tiny (a dup
+# cluster's pairs all share LSH buckets, so clusters are dense and
+# shallow — diameter 2-4 in practice), which makes propagation CHEAPER
+# than the O(log²n)-round star-contraction algorithms (Kiveris et al.,
+# "Connected Components in MapReduce and Beyond") for this workload; for
+# arbitrary long-chain graphs prefer that alternation instead.
+# ``localCheckpoint`` cuts the lineage each round so the plan does not
+# grow exponentially with iterations (the classic iterative-DataFrame
+# trap).
+
+
+def connected_components(pairs: DataFrame, a_col: str = "doc_a",
+                         b_col: str = "doc_b",
+                         max_iter: int = 25) -> DataFrame:
+    """(doc, component) for every vertex in ``pairs``; component = the
+    smallest doc id transitively connected to it.
+
+    Raises RuntimeError if ``max_iter`` rounds don't converge (a
+    diameter-25 dup graph means the candidate generator is broken).
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(
+            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc"))
+        .distinct()
+        .select("doc", F.col("doc").alias("component"))
+        .localCheckpoint(eager=True)
+    )
+    total = labels.agg(F.sum("component").alias("s")).collect()[0]["s"]
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["src"] == labels["doc"])
+            .groupBy(F.col("dst").alias("doc"))
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        labels = (
+            labels.join(neighbor_min, "doc", "left")
+            .select(
+                "doc",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_min"), F.col("component")),
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        new_total = labels.agg(F.sum("component").alias("s")).collect()[0]["s"]
+        if new_total == total:
+            return labels
+        total = new_total
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds — "
+        "pair graph has pathological diameter"
+    )
+
+
+def near_dedup_keep_list(docs: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text", n: int = 3,
+                         n_hashes: int = 16, bands: int = 4) -> DataFrame:
+    """End-to-end near-dedup: minhash-LSH pairs → components → keep-list.
+
+    Returns (doc_id, component, keep): every document that appeared in at
+    least one candidate pair, its duplicate-cluster id, and whether it is
+    the cluster's kept representative (min id). Documents with no
+    near-duplicate never enter the pair graph and are implicitly kept —
+    at scale this matters: the component computation runs on the pair
+    graph (tiny: only near-dup docs), never the full corpus.
+    """
+    pairs = minhash_lsh_pairs(docs, id_col, text_col, n, n_hashes, bands)
+    comp = connected_components(pairs)
+    return comp.select(
+        F.col("doc").alias(id_col),
+        "component",
+        (F.col("doc") == F.col("component")).alias("keep"),
+    ).orderBy(id_col)

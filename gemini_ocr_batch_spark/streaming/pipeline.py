@@ -203,3 +203,28 @@ def sessionize_batch(events: DataFrame, gap_sec: int = SESSION_GAP_SEC) -> DataF
         )
         .orderBy("user_id", "session_id")
     )
+
+
+def stream_dedup_exact(pages: DataFrame, time_col: str = "warc_ts",
+                       text_col: str = "text",
+                       watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup: emit only the FIRST occurrence of each
+    content digest within the watermark horizon.
+
+    The streaming analog of ``operators.dedup.exact_dedup`` for a
+    continuous-ingest pipeline (crawl re-fetches, mirror floods):
+    ``dropDuplicatesWithinWatermark`` keys the state store by the 32-byte
+    md5 digest — never the text — and the watermark bounds state size, so
+    memory is O(distinct digests per horizon), not O(stream). Exact
+    cross-horizon dedup belongs to the batch operator over the
+    accumulated corpus; this stage exists to cheaply collapse the
+    high-frequency near-in-time duplicates before they hit the expensive
+    extraction kernel.
+    """
+    from gemini_ocr_batch_spark.functions.hashing import h_hex
+
+    return (
+        pages.withColumn("content_hash", h_hex(text_col))
+        .withWatermark(time_col, watermark)
+        .dropDuplicatesWithinWatermark(["content_hash"])
+    )

@@ -105,3 +105,85 @@ def test_dedup_on_real_documents_table(spark, sf_dir):
     out = exact_dedup(docs)
     assert out.count() <= docs.count()
     assert out.agg(F.sum("group_size")).collect()[0][0] == docs.count()
+
+
+# ---------------------------------------------------------------------------
+# connected components / keep-list (round 3)
+# ---------------------------------------------------------------------------
+
+
+def _uf_components(pairs):
+    """Independent pure-Python union-find oracle."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in parent}
+
+
+def test_connected_components_matches_union_find(spark):
+    from gemini_ocr_batch_spark.operators.dedup import connected_components
+
+    # chain (diameter stress), triangle, star, isolated pair
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 5),        # chain 1-5
+             (10, 11), (11, 12), (10, 12),          # triangle
+             (20, 21), (20, 22), (20, 23),          # star
+             (30, 31)]                               # pair
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    got = {
+        r["doc"]: r["component"]
+        for r in connected_components(df).collect()
+    }
+    assert got == _uf_components(pairs)
+
+
+def test_connected_components_on_lsh_pairs(spark, sf_dir):
+    """End-to-end over real minhash pairs at sf0.001: the Spark components
+    equal union-find over the same pair list."""
+    from gemini_ocr_batch_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs_df = minhash_lsh_pairs(docs)
+    pairs = [(r["doc_a"], r["doc_b"]) for r in pairs_df.collect()]
+    if not pairs:  # corpus produced no near-dups; nothing to cluster
+        return
+    got = {
+        r["doc"]: r["component"]
+        for r in connected_components(pairs_df).collect()
+    }
+    assert got == _uf_components(pairs)
+
+
+def test_near_dedup_keep_list(spark, sf_dir):
+    from gemini_ocr_batch_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        near_dedup_keep_list,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = near_dedup_keep_list(docs).collect()
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(docs).collect()
+    ]
+    comp = _uf_components(pairs)
+    assert {r["doc_id"] for r in rows} == set(comp)
+    # exactly one kept representative per component, and it is the min id
+    by_comp = {}
+    for r in rows:
+        by_comp.setdefault(r["component"], []).append(r)
+    for c, members in by_comp.items():
+        kept = [r["doc_id"] for r in members if r["keep"]]
+        assert kept == [min(r["doc_id"] for r in members)] == [c]

@@ -122,3 +122,44 @@ def test_sessionize_stateful_streaming(spark, tmp_path):
     # batch; open sessions remain in state (append mode)
     closed = {(r["user_id"], r["n_events"]) for r in got}
     assert (1, 2) in closed
+
+
+def test_stream_dedup_exact(spark, tmp_path):
+    """First occurrence of each text survives; later same-text rows within
+    the watermark horizon are dropped; state is keyed by digest."""
+    from gemini_ocr_batch_spark.streaming.pipeline import stream_dedup_exact
+
+    staged = tmp_path / "dedup_in"
+    staged.mkdir()
+    ts = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        ("u1", ts, b"", "same text", "en"),
+        ("u2", ts + dt.timedelta(minutes=1), b"", "same text", "en"),
+        ("u3", ts + dt.timedelta(minutes=2), b"", "other text", "en"),
+        ("u4", ts + dt.timedelta(minutes=3), b"", "same text", "en"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string",
+    )
+    df.write.parquet(str(staged / "p"))
+    stream = spark.readStream.schema(df.schema).parquet(str(staged / "p"))
+    q = (
+        stream_dedup_exact(stream, watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select url, text from dedup_stream").collect()
+    texts = sorted(r["text"] for r in got)
+    assert texts == ["other text", "same text"]
+    # exactly ONE survivor per digest; which duplicate survives is
+    # processing-order (arrival) semantics, not event-time-min — within a
+    # multi-partition micro-batch that choice is arbitrary by design
+    kept = {r["text"]: r["url"] for r in got}
+    assert kept["same text"] in {"u1", "u2", "u4"}
+    assert kept["other text"] == "u3"
