@@ -287,16 +287,45 @@ def _attrs_self_closing(attrs: str) -> bool:
         while j < n and s[j].isspace():
             j += 1
         if j < n and s[j] == "=":
+            eq_start = j
             while j < n and s[j] == "=":
                 j += 1
+            eq_end = j  # position right after the '=' run
             while j < n and s[j].isspace():
                 j += 1
             if j < n and s[j] in "\"'":
                 k = s.find(s[j], j + 1)
-                i = n if k < 0 else k + 1
+                if k >= 0:
+                    i = k + 1
+                elif eq_end - eq_start >= 2:
+                    # unterminated quote after '=='+: the regex engine
+                    # backtracks '=+' by one, so the value is a BARE run
+                    # starting at the given-back '=' (quote chars are
+                    # legal inside a bare value — only the FIRST char is
+                    # lookahead-checked): <p a=="x/> has value '="x/'
+                    v = eq_end - 1
+                    while v < n and s[v] != ">" and not s[v].isspace():
+                        v += 1
+                    i = v
+                elif j > eq_end:
+                    # single '=' + whitespace + unterminated quote: the
+                    # '\s*' backtracks to empty and the bare alternative
+                    # matches the EMPTY string — attr has value '', and
+                    # the quote starts the next attr name
+                    i = eq_end
+                else:
+                    # single '=' abutting an unterminated quote: every
+                    # value alternative fails, the whole value group
+                    # backtracks to nothing — the attr is name-only and
+                    # scanning resumes AT the '=' (stdlib parses it as
+                    # the next attr name: <svg "="/> is startend with
+                    # attrs ['"', '="'], caught by the r3 80k-page fuzz)
+                    continue
             else:
-                # unquoted value: greedy non-whitespace run
-                while j < n and not s[j].isspace():
+                # unquoted value: greedy run, stopped by whitespace or
+                # '>' ([^>\s]* — '>' can occur here when a later quoted
+                # segment contains one)
+                while j < n and s[j] != ">" and not s[j].isspace():
                     j += 1
                 i = j
         # bare attribute: i already sits after the name

@@ -234,12 +234,19 @@ def test_fast_tokenizer_matches_stdlib_fuzzed_attrs():
 
     rng = random.Random(1234)
     tags = ["p", "div", "a", "nav", "td", "iframe", "span", "li", "svg",
-            "script", "header", "h1", "ul"]
+            "script", "header", "h1", "ul", "table", "pre", "style",
+            "textarea", "title", "br", "img"]
     attr_bits = [
         "", " x", " x=1", ' href="/a/b"', " x=y/z", ' x="a b"', " x='c/d'",
         " x=", " x= ", " a=1 b", ' a="q=r"', " data-k", " a=b=c", " a/b",
         ' a="1"b', ' a=b"x', ' a=b"x>y"', " ==", " =x", ' "lone',
         " a='p>q'", ' a="unclosed', " a=,,1", " a=1,,", " x\t=\n1",
+        # r3 regression shapes: unterminated-quote values force stdlib's
+        # regex to backtrack ('=+' gives back one '=' -> bare value;
+        # single '='+ws -> EMPTY bare value; single abutting '=' -> the
+        # value group fails and the quote starts the next attr name)
+        ' "="', " '='", ' a="', " b='", ' ="x', ' =="y', " a== 'z",
+        " a=b'p>q'", ' x="" =="w',
     ]
     extras = [
         "<!-- c -->", "<!doctype html>", "<?pi x?>", "</ div>", "</>",
