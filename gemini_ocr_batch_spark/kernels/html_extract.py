@@ -371,9 +371,12 @@ class _FastBlockParser(_BlockParser):
         end = html_text[k:endpos].strip()
         if end not in (">", "/>"):
             # junk between the last attribute and the '>': the whole tag
-            # text is data (reference: html/parser.py parse_starttag)
-            data = html_text[i:endpos]
-            handle_data(unescape(data) if "&" in data else data)
+            # text is data (reference: html/parser.py parse_starttag).
+            # NO charref conversion here — stdlib's parse_starttag calls
+            # handle_data directly, bypassing goahead's unescape, so
+            # '<b&mp;…' stays literal ('&mp;' IS a named charref that
+            # would otherwise convert; caught by the r3 CDATA fuzz)
+            handle_data(html_text[i:endpos])
             return endpos
         if end == "/>":
             self.handle_starttag(tag, None)

@@ -258,6 +258,10 @@ def test_fast_tokenizer_matches_stdlib_fuzzed_attrs():
         "<!-- open comment ", "<! decl ", "<? pi ", "<![CDATA[ raw ",
         "<!-->", "<script>var a=1;</script foo> leaked",
         "<script>var b=2;</ script > after", '<p a="x\n',
+        # r3: stdlib's parse_starttag junk path emits RAW data (no
+        # charref conversion) — '&mp;' is a real named charref that must
+        # NOT convert when the "tag" is junked to data
+        "<b&mp;\x00", "<p&amp x=1>", "&mp; loose entity ",
     ]
     for _ in range(800):
         parts = []
