@@ -163,7 +163,12 @@ def write_pages_parquet(rows: list[tuple], path: str) -> None:
             "lang": pa.array([r[4] for r in rows], pa.string()),
         }
     )
-    pq.write_table(table, path)
+    # Bounded row groups keep the file SPLITTABLE: Spark plans byte-range
+    # splits, but a split only yields rows if a row-group START falls
+    # inside it — a single-row-group file makes every task but one empty,
+    # silently serializing the whole extraction (found in r3: 121k docs
+    # ran on one core because pyarrow's default wrote one row group).
+    pq.write_table(table, path, row_group_size=8192)
 
 
 def golden_extract(rows: list[tuple]) -> dict[tuple, tuple]:

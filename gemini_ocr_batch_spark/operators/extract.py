@@ -134,16 +134,25 @@ def _extract_batches_arrow(it):
         t0 = time.perf_counter_ns()
         urls = batch.column("url").to_pylist()
         blobs = batch.column("html").to_pylist()
-        texts, spans, kinds, errs = [], [], [], []
+        texts, kinds, errs = [], [], []
         msgs, samples, nbytes = [], [], []
+        # spans go straight to flattened Arrow buffers (offsets + struct
+        # children + null mask) instead of one python dict PER SPAN —
+        # measured ~100x faster array build; on span-dense real pages the
+        # dict path was ~20% of total kernel wall
+        sp_offsets, sp_starts, sp_ends, sp_kinds, sp_null = [0], [], [], [], []
         for url, blob in zip(urls, blobs):
             text, sp, kind, err, msg = extract_document_detail(blob, url)
             texts.append(text)
-            spans.append(
-                None
-                if sp is None
-                else [{"start": s, "end": e, "kind": k} for s, e, k in sp]
-            )
+            if sp is None:
+                sp_null.append(True)
+            else:
+                sp_null.append(False)
+                for s, e, k in sp:
+                    sp_starts.append(s)
+                    sp_ends.append(e)
+                    sp_kinds.append(k)
+            sp_offsets.append(len(sp_starts))
             kinds.append(kind)
             errs.append(err)
             msgs.append(msg)
@@ -153,6 +162,18 @@ def _extract_batches_arrow(it):
                 else None
             )
             nbytes.append(len(blob) if blob is not None else 0)
+        spans_arr = pa.ListArray.from_arrays(
+            pa.array(sp_offsets, pa.int32()),
+            pa.StructArray.from_arrays(
+                [
+                    pa.array(sp_starts, pa.int64()),
+                    pa.array(sp_ends, pa.int64()),
+                    pa.array(sp_kinds, pa.string()),
+                ],
+                fields=list(span_type.value_type),
+            ),
+            mask=pa.array(sp_null),
+        )
         elapsed = time.perf_counter_ns() - t0
         n = batch.num_rows  # constant columns must match row count exactly
         per_row_ns = elapsed // max(1, n)
@@ -161,7 +182,7 @@ def _extract_batches_arrow(it):
                 batch.column("url"),
                 batch.column("warc_ts"),
                 pa.array(texts, pa.string()),
-                pa.array(spans, span_type),
+                spans_arr,
                 pa.array(kinds, pa.string()),
                 pa.array([EXTRACTOR_VERSION] * n, pa.string()),
                 pa.array(errs, pa.string()),
@@ -209,7 +230,21 @@ def extract_pages(
             src_parts = slim.rdd.getNumPartitions()
         except Exception:  # streaming frames have no rdd
             src_parts = parts
-        salt = src_parts < max(2, parts // 2)
+        # Planned byte-range splits LIE for coarse-row-group parquet: a
+        # split yields rows only if a row-group start falls inside it, so
+        # a single-row-group file plans N splits but N-1 are empty and
+        # one task extracts everything (r3: 121k docs serialized onto one
+        # core this way). inputFiles() is a driver-side metadata call; a
+        # source with fewer files than target parallelism cannot be
+        # TRUSTED to split, so it gets the salt shuffle — for a genuinely
+        # many-row-group single file that shuffle is redundant but
+        # harmless; for the pathological file it is a cores× win.
+        try:
+            n_files = len(slim.inputFiles())
+        except Exception:  # non-file source (memory, stream)
+            n_files = src_parts
+        effective = min(src_parts, max(n_files, 1))
+        salt = effective < max(2, parts // 2)
     if salt:
         slim = salt_by_size(slim, parts)
     if use_arrow:

@@ -52,6 +52,19 @@ def get_spark(
         # work bounded (skew), and a modest table still feeds every core
         # without shuffling the blob column (extract_pages salt="auto")
         .config("spark.sql.files.maxPartitionBytes", "8m")
+        # Bound the vectorized parquet scan batch by ROWS: the default
+        # 4096-row batches of heavy-tail binary blobs (~100 KB max rows)
+        # reserve up to ~400 MB contiguous per task — at 32 concurrent
+        # tasks under spark-submit's default 1g driver heap (where the
+        # spark.driver.memory conf below arrives too late to matter) the
+        # reader dies with "Cannot reserve additional contiguous bytes".
+        # 512 rows bounds the batch at ~50 MB worst-case per task while
+        # costing nothing on the narrow relational tables. This is a
+        # runtime SQL conf, so it protects every launch mode.
+        .config("spark.sql.parquet.columnarReaderBatchSize", "512")
+        # NOTE: only effective when THIS process launches the JVM
+        # (python x.py). Under spark-submit the JVM pre-exists — pass
+        # --driver-memory there (see README).
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")

@@ -103,3 +103,35 @@ def test_dispatch_html_roundtrip():
     assert kind == "html"
     for s, e, _ in spans:
         assert 0 <= s < e <= len(text)
+
+
+def test_pdf_kernel_never_raises_on_structured_garbage():
+    """Robustness: random recombinations of PDF structural fragments
+    (streams, text operators, escapes, Flate blobs, binary noise) must
+    produce typed errors or tolerant extractions — never an unhandled
+    exception (r3 fuzz ran 30k docs; this pins a 2k-doc sample)."""
+    import random
+    import zlib
+
+    from gemini_ocr_batch_spark.kernels import extract_document_detail
+
+    rng = random.Random(777)
+    frags = [b"%PDF-1.4\n", b"stream\n", b"endstream", b"BT ", b"ET",
+             b"Tj", b"TJ", b"Td", b"TD", b"Tm", b"(text here)",
+             b"(unclosed", b"()", rb"(esc\)ed)", rb"(\053\n)",
+             b"[(a)(b)]", b"[(a) -250 (b)] TJ", b"1 0 0 1 72 700 Tm",
+             b"/F1 12 Tf", b"<</Filter /FlateDecode>>", b"<</Length 99>>",
+             zlib.compress(b"BT (deflated text) Tj ET"), b"\x00\xff\xfe",
+             b"obj", b"endobj", b"xref", b"trailer", b"startxref",
+             b"%%EOF", b"4 0 R", b"q Q", b"0.5 0 0 0.5 0 0 cm",
+             b"(" + bytes(range(256)) + b")", b"BI ID EI", b">>", b"<<",
+             b"]", b"[", b"\\", b"(", rb"(a\400b)", rb"(\0053)",
+             b"(\xe9\xfc)", b"1e999 0 Td", b"nan nan Td", b"-1e-999 Tj"]
+    for _ in range(2000):
+        doc = b"".join(rng.choice(frags) for _ in range(rng.randint(1, 30)))
+        if rng.random() < 0.3:
+            doc = b"%PDF-" + doc
+        text, spans, kind, err, msg = extract_document_detail(
+            doc, "https://x/doc.pdf"
+        )
+        assert err is None or isinstance(err, str)

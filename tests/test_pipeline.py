@@ -217,3 +217,49 @@ def test_checkpoint_merge_transitions(spark, tmp_path):
     assert state["b"] == ("dead", 2)  # max_retries=2 reached
     assert state["a"] == ("success", 1)
     assert state["c"] == ("success", 1)
+
+
+def test_single_row_group_input_still_parallelizes(spark, tmp_path):
+    """A single-file, single-row-group pages table plans N byte-range
+    splits but only ONE yields rows — salt='auto' must detect the
+    untrustworthy source (inputFiles < target parallelism) and shuffle,
+    or the whole extraction runs on one core (r3: 121k docs serialized
+    this way)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gemini_ocr_batch_spark.datagen import generate_rows
+    from gemini_ocr_batch_spark.operators.extract import extract_pages
+
+    rows = generate_rows(400, seed=5)
+    table = pa.table(
+        {
+            "url": pa.array([r[0] for r in rows], pa.string()),
+            "warc_ts": pa.array(
+                [r[1] for r in rows], pa.timestamp("us", tz="UTC")
+            ),
+            "html": pa.array([r[2] for r in rows], pa.binary()),
+            "text": pa.array([r[3] for r in rows], pa.string()),
+            "lang": pa.array([r[4] for r in rows], pa.string()),
+        }
+    )
+    path = str(tmp_path / "one_rg.parquet")
+    pq.write_table(table, path)  # deliberately ONE row group
+    assert pq.ParquetFile(path).num_row_groups == 1
+    pages = spark.read.parquet(path)
+    out = extract_pages(pages, n_partitions=8, salt="auto")
+    n_parts = out.select("partition_id").distinct().count()
+    assert n_parts > 1, "single-row-group file must be salted across cores"
+
+
+def test_datagen_writes_splittable_row_groups(tmp_path):
+    import pyarrow.parquet as pq
+
+    from gemini_ocr_batch_spark.datagen import (
+        generate_rows,
+        write_pages_parquet,
+    )
+
+    path = str(tmp_path / "pages.parquet")
+    write_pages_parquet(generate_rows(20000, seed=1), path)
+    assert pq.ParquetFile(path).num_row_groups >= 2
