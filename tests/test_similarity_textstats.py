@@ -199,3 +199,52 @@ def test_decode_stub_raises(spark):
 
     with pytest.raises(NotImplementedError):
         decode_image(b"\xff\xd8\xff")
+
+
+def test_ivf_topk_recall_vs_bruteforce(spark, sf_dir):
+    """IVF (kmeans-partitioned) ANN: with a healthy probe budget the
+    approximate top-k must recover most of the exact top-k, and with
+    n_probe = k_centroids it must EQUAL the exact result (every cell
+    scanned ⇒ same math as brute force)."""
+    from gemini_ocr_batch_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_build,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q_row = emb.orderBy("vec_id").first()
+    query = [float(x) for x in q_row["embedding"]]
+    index_df, centroids = ivf_build(emb, k_centroids=8)
+    index_df = index_df.cache()
+    try:
+        exact = [r["id"] for r in
+                 brute_force_topk(emb, query, k=10)
+                 .select(F.col("vec_id").alias("id")).collect()]
+        # full probe == exact
+        full = [r["id"] for r in
+                ivf_topk(index_df, centroids, query, k=10,
+                         n_probe=len(centroids)).collect()]
+        assert full == exact
+        # partial probe: strong recall (the query's own cell is probed
+        # first, so its true neighbors cluster there)
+        part = [r["id"] for r in
+                ivf_topk(index_df, centroids, query, k=10,
+                         n_probe=2).collect()]
+        recall = len(set(part) & set(exact)) / 10
+        assert recall >= 0.5, f"recall@10 {recall} too low for n_probe=2/8"
+    finally:
+        index_df.unpersist()
+
+
+def test_ivf_assignment_is_total_and_deterministic(spark, sf_dir):
+    from gemini_ocr_batch_spark.operators.similarity import ivf_build
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    a1, c1 = ivf_build(emb, k_centroids=4)
+    a2, c2 = ivf_build(emb, k_centroids=4)
+    assert c1 == c2  # seeded fit
+    assert a1.count() == n  # every vector lands in exactly one cell
+    assert a1.select("centroid_id").distinct().count() <= 4
+    assert a1.exceptAll(a2).count() == 0
