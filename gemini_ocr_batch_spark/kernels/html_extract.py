@@ -236,6 +236,16 @@ from html.parser import (  # noqa: E402 - intentionally after stdlib import
 
 _ASCII_LETTERS = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
 
+# stdlib's marked-section machinery (html/parser.py delegates <![ to
+# _markupbase.ParserBase.parse_marked_section) — use its exact regexes so
+# the close boundaries (']\\s*]\\s*>' / ']\\s*>') and the name token agree
+# with the cross-check twin by construction
+from _markupbase import (  # noqa: E402
+    _declname_match as _DECLNAME_MATCH,
+    _markedsectionclose as _MARKEDSECTIONCLOSE,
+    _msmarkedsectionclose as _MSMARKEDSECTIONCLOSE,
+)
+
 
 def _recovery_end(html_text: str, i: int) -> int:
     """stdlib goahead's incomplete-construct recovery (html/parser.py
@@ -333,6 +343,36 @@ def _attrs_self_closing(attrs: str) -> bool:
 
 class _FastBlockParser(_BlockParser):
     """Same state machine, regex tokenizer instead of HTMLParser.feed."""
+
+    def _marked_section(self, html_text: str, i: int) -> int:
+        """stdlib-faithful ``<![`` handling (_markupbase
+        parse_marked_section, driven by its OWN regexes): keyword
+        sections close at ']]>' (whitespace-tolerant), the MS-Office
+        conditional keywords (if/else/endif) at ']>', both consumed
+        silently (unknown_decl is a no-op for the block machine); an
+        unterminated section is goahead-recovery DATA through the next
+        '>' — so '<![endif>' (no ']>') is data, not a tag. Where stdlib
+        RAISES (no name token, unknown keyword), this fast path stays
+        total and applies the same recovery; the twin tests treat
+        stdlib's AssertionError as 'stdlib refuses, not comparable'.
+        Returns the resume position."""
+        handle_data = self.handle_data
+        m2 = _DECLNAME_MATCH(html_text, i + 3)
+        close = None
+        if m2 is not None and m2.end() < len(html_text):
+            kw = m2.group().strip().lower()
+            if kw in {"temp", "cdata", "ignore", "include", "rcdata"}:
+                close = _MARKEDSECTIONCLOSE.search(html_text, i + 3)
+            elif kw in {"if", "else", "endif"}:
+                close = _MSMARKEDSECTIONCLOSE.search(html_text, i + 3)
+            # unknown keyword: stdlib raises AssertionError — fall through
+            # to recovery (fast-defined total behavior)
+        if close is not None:
+            return close.end(0)
+        k = _recovery_end(html_text, i)
+        data = html_text[i:k]
+        handle_data(unescape(data) if "&" in data else data)
+        return k
 
     def _stdlib_parse_starttag(self, html_text: str, i: int) -> int:
         """Faithful port of HTMLParser.parse_starttag +
@@ -477,8 +517,13 @@ class _FastBlockParser(_BlockParser):
                 tok = html_text[m.start() : m.end()]
                 if tok.startswith("<!--"):
                     done = len(tok) >= 7 and tok.endswith("-->")
-                elif tok.startswith("<![CDATA["):
-                    done = tok.endswith("]]>")
+                elif tok.startswith("<!["):
+                    # marked section: stdlib's own close rules may extend
+                    # PAST the first '>' (e.g. <![include x>y]]>) or fall
+                    # short of it (<![endif> is DATA) — rescan from the
+                    # token start regardless of where _TOKEN stopped
+                    pos = self._marked_section(html_text, m.start())
+                    continue
                 else:
                     done = tok.endswith(">")
                 if not done:

@@ -262,6 +262,11 @@ def test_fast_tokenizer_matches_stdlib_fuzzed_attrs():
         # charref conversion) — '&mp;' is a real named charref that must
         # NOT convert when the "tag" is junked to data
         "<b&mp;\x00", "<p&amp x=1>", "&mp; loose entity ",
+        # r3: marked sections follow stdlib's OWN close rules — keyword
+        # sections end at ']]>' (ws-tolerant), if/else/endif at ']>',
+        # unterminated ones are recovery DATA ('<![endif>' is data)
+        "<![endif>", "<![if x]>in<![endif]>", "<![include a>b]]>",
+        "<![cdata[x>y]]>", "<![rcdata junk", "<![temp ] ] > t",
     ]
     for _ in range(800):
         parts = []
@@ -283,3 +288,23 @@ def test_fast_tokenizer_matches_stdlib_fuzzed_attrs():
                 parts.append(f"</{t}>")
         page = "".join(parts)
         assert segment_blocks(page) == segment_blocks_stdlib(page), page
+
+
+def test_fast_tokenizer_total_where_stdlib_raises():
+    """stdlib html.parser RAISES AssertionError on marked sections with
+    no name token or an unknown keyword ('<![bogus x]>'); the fast
+    tokenizer must stay total (recovery data, never an exception) — a
+    crawl kernel cannot crash on attacker-controlled bytes."""
+    import pytest
+
+    from gemini_ocr_batch_spark.kernels.html_extract import (
+        segment_blocks,
+        segment_blocks_stdlib,
+    )
+
+    for page in ["<![tarea x]> t", "<![> t", "<![bogus kw]]> t",
+                 "<![\x00]> t"]:
+        blocks = segment_blocks(page)  # must not raise
+        assert isinstance(blocks, list)
+        with pytest.raises(AssertionError):
+            segment_blocks_stdlib(page)
