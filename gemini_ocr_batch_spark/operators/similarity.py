@@ -199,7 +199,7 @@ def ivf_build(
     vector ops over the full corpus.
     """
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     src = embeddings.select(
         F.col(id_col).alias("id"),

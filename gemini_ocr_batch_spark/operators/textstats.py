@@ -15,7 +15,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from gemini_ocr_batch_spark.functions.hashing import h_hex, tokens
+from gemini_ocr_batch_spark.functions.hashing import tokens
 from gemini_ocr_batch_spark.operators.util import spread_small_input
 
 # Tiny per-language marker lexicons (n-gram-heuristic language ID — the
