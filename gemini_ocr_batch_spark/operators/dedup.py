@@ -376,7 +376,16 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
         .select("doc", F.col("doc").alias("component"))
         .localCheckpoint(eager=True)
     )
-    total = labels.agg(F.sum("component").alias("s")).collect()[0]["s"]
+    # decimal(38) accumulator: labels only ever DECREASE, so a strictly
+    # smaller sum == progress and an equal sum == fixpoint — but a bigint
+    # sum could overflow at (huge id) x (huge vertex count) and alias two
+    # different states; decimal makes the convergence test exact
+    def _label_sum(df):
+        return df.agg(
+            F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+
+    total = _label_sum(labels)
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges["src"] == labels["doc"])
@@ -394,7 +403,7 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
             )
             .localCheckpoint(eager=True)
         )
-        new_total = labels.agg(F.sum("component").alias("s")).collect()[0]["s"]
+        new_total = _label_sum(labels)
         if new_total == total:
             return labels
         total = new_total
