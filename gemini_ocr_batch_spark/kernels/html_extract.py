@@ -204,9 +204,13 @@ class _BlockParser(HTMLParser):
 
 _TOKEN = re.compile(
     r"""<(?:
-        !--.*?(?:-->|$)                 # comment
-      | !\[CDATA\[.*?(?:\]\]>|$)        # cdata
-      | [!?][^>]*>?                     # doctype / processing instruction
+        !--                             # comment START (close resolved in
+                                        # feed via stdlib _commentclose —
+                                        # prefix-only so an unterminated
+                                        # comment can't make the regex
+                                        # rescan to EOF per occurrence)
+      | [!?]                            # decl / PI / marked-section START
+                                        # (same reasoning)
       | (/?)                            # 1: end-tag slash
         ([a-zA-Z][a-zA-Z0-9:-]*)        # 2: tag name
         ((?:"[^"]*"|'[^']*'|[^>"'])*)   # 3: attributes (quote-aware)
@@ -241,6 +245,7 @@ _ASCII_LETTERS = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
 # the close boundaries (']\\s*]\\s*>' / ']\\s*>') and the name token agree
 # with the cross-check twin by construction
 from _markupbase import (  # noqa: E402
+    _commentclose as _COMMENTCLOSE,
     _declname_match as _DECLNAME_MATCH,
     _markedsectionclose as _MARKEDSECTIONCLOSE,
     _msmarkedsectionclose as _MSMARKEDSECTIONCLOSE,
@@ -344,6 +349,48 @@ def _attrs_self_closing(attrs: str) -> bool:
 class _FastBlockParser(_BlockParser):
     """Same state machine, regex tokenizer instead of HTMLParser.feed."""
 
+    # -- memoized terminator searches -----------------------------------
+    # A terminator search that failed from position p must fail from any
+    # p' > p (it scans a suffix of the failed range). Without the memo,
+    # EVERY unterminated <!--/<![/<? occurrence rescans to EOF — O(n²) on
+    # pages like '<!-- x' × 50k (measured 206 s for 300 KB; a crawl
+    # kernel must be adversarial-input linear). One failed scan per
+    # terminator class per document is the worst case now.
+
+    def _find_gt(self, s: str, i: int) -> int:
+        if self._gt_gone:
+            return -1
+        k = s.find(">", i)
+        if k < 0:
+            self._gt_gone = True
+        return k
+
+    def _recovery(self, s: str, i: int) -> int:
+        """Memo-aware twin of :func:`_recovery_end`."""
+        gt = self._find_gt(s, i + 1)
+        if gt >= 0:
+            return gt + 1
+        k = s.find("<", i + 1)
+        return k if k >= 0 else i + 1
+
+    def _comment(self, html_text: str, i: int) -> int:
+        """stdlib-faithful ``<!--`` handling: the close is stdlib's OWN
+        ``_commentclose`` regex (``--\\s*>`` — whitespace-tolerant, so
+        '<!-- x -- >' closes; the old literal '-->' check diverged),
+        consumed silently (handle_comment is a no-op for the block
+        machine); unterminated → goahead recovery data."""
+        close = None
+        if not self._comment_gone:
+            close = _COMMENTCLOSE.search(html_text, i + 4)
+            if close is None:
+                self._comment_gone = True
+        if close is not None:
+            return close.end()
+        k = self._recovery(html_text, i)
+        data = html_text[i:k]
+        self.handle_data(unescape(data) if "&" in data else data)
+        return k
+
     def _marked_section(self, html_text: str, i: int) -> int:
         """stdlib-faithful ``<![`` handling (_markupbase
         parse_marked_section, driven by its OWN regexes): keyword
@@ -362,14 +409,20 @@ class _FastBlockParser(_BlockParser):
         if m2 is not None and m2.end() < len(html_text):
             kw = m2.group().strip().lower()
             if kw in {"temp", "cdata", "ignore", "include", "rcdata"}:
-                close = _MARKEDSECTIONCLOSE.search(html_text, i + 3)
+                if not self._mk_gone:
+                    close = _MARKEDSECTIONCLOSE.search(html_text, i + 3)
+                    if close is None:
+                        self._mk_gone = True
             elif kw in {"if", "else", "endif"}:
-                close = _MSMARKEDSECTIONCLOSE.search(html_text, i + 3)
+                if not self._ms_gone:
+                    close = _MSMARKEDSECTIONCLOSE.search(html_text, i + 3)
+                    if close is None:
+                        self._ms_gone = True
             # unknown keyword: stdlib raises AssertionError — fall through
             # to recovery (fast-defined total behavior)
         if close is not None:
             return close.end(0)
-        k = _recovery_end(html_text, i)
+        k = self._recovery(html_text, i)
         data = html_text[i:k]
         handle_data(unescape(data) if "&" in data else data)
         return k
@@ -494,6 +547,12 @@ class _FastBlockParser(_BlockParser):
         pos = 0
         n = len(html_text)
         handle_data = self.handle_data
+        # per-document memo flags for the terminator searches (see the
+        # memoized-search block above)
+        self._gt_gone = False
+        self._comment_gone = False
+        self._mk_gone = False
+        self._ms_gone = False
         while pos < n:
             m = _TOKEN.search(html_text, pos)
             gap_end = m.start() if m is not None else n
@@ -514,26 +573,28 @@ class _FastBlockParser(_BlockParser):
             pos = m.end()
             slash, name, attrs = m.group(1, 2, 3)  # one C call, not three
             if name is None:  # comment / doctype / PI / marked section
-                tok = html_text[m.start() : m.end()]
-                if tok.startswith("<!--"):
-                    done = len(tok) >= 7 and tok.endswith("-->")
-                elif tok.startswith("<!["):
+                i0 = m.start()
+                if html_text.startswith("<!--", i0):
+                    pos = self._comment(html_text, i0)
+                elif html_text.startswith("<![", i0):
                     # marked section: stdlib's own close rules may extend
                     # PAST the first '>' (e.g. <![include x>y]]>) or fall
                     # short of it (<![endif> is DATA) — rescan from the
                     # token start regardless of where _TOKEN stopped
-                    pos = self._marked_section(html_text, m.start())
-                    continue
+                    pos = self._marked_section(html_text, i0)
                 else:
-                    done = tok.endswith(">")
-                if not done:
-                    # unterminated construct: stdlib's goahead recovery
-                    # emits through the next '>' as data and KEEPS parsing
-                    # (the _TOKEN alternative swallowed to EOF)
-                    k = _recovery_end(html_text, m.start())
-                    data = html_text[m.start() : k]
-                    handle_data(unescape(data) if "&" in data else data)
-                    pos = k
+                    # <!decl / <?pi / bogus comment: consumed silently
+                    # through the next '>' (stdlib parse_pi /
+                    # parse_bogus_comment / the doctype find — all reduce
+                    # to the same next-'>' here), else goahead recovery
+                    gt = self._find_gt(html_text, i0 + 2)
+                    if gt >= 0:
+                        pos = gt + 1
+                    else:
+                        k = _recovery_end(html_text, i0)
+                        data = html_text[i0:k]
+                        handle_data(unescape(data) if "&" in data else data)
+                        pos = k
                 continue
             tag = name.lower()
             attrs = attrs or ""

@@ -267,6 +267,9 @@ def test_fast_tokenizer_matches_stdlib_fuzzed_attrs():
         # unterminated ones are recovery DATA ('<![endif>' is data)
         "<![endif>", "<![if x]>in<![endif]>", "<![include a>b]]>",
         "<![cdata[x>y]]>", "<![rcdata junk", "<![temp ] ] > t",
+        # r3: comment close is stdlib's _commentclose ('--\s*>',
+        # whitespace-tolerant) — '<!-- x -- >' CLOSES the comment
+        "<!-- ws close -- >", "<!--t--\t>x", "<!--u--  >y",
     ]
     for _ in range(800):
         parts = []
@@ -308,3 +311,20 @@ def test_fast_tokenizer_total_where_stdlib_raises():
         assert isinstance(blocks, list)
         with pytest.raises(AssertionError):
             segment_blocks_stdlib(page)
+
+
+def test_adversarial_inputs_parse_in_linear_time():
+    """Crawl-DoS guard: unterminated-construct floods must parse in
+    linear time. Each failed terminator search is memoized per document
+    (a search that failed from p fails from any p' > p), so the worst
+    case is ONE full scan per terminator class — pre-fix, 300 KB of
+    '<!-- x' took 206 s (O(n²)); now it must be near-instant."""
+    import time
+
+    from gemini_ocr_batch_spark.kernels.html_extract import segment_blocks
+
+    for page in ["<!-- x" * 50000, "<![CDATA[ x" * 20000, "<? x" * 50000,
+                 "<![endif>" * 50000, "<![if x>" * 50000]:
+        t0 = time.perf_counter()
+        segment_blocks(page)
+        assert time.perf_counter() - t0 < 5.0, "quadratic parse regressed"
