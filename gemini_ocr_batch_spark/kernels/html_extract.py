@@ -219,6 +219,11 @@ _TOKEN = re.compile(
     re.DOTALL | re.VERBOSE,
 )
 
+# prefix-only construct scanner for the no-'>'-remains regime (see feed):
+# tags cannot match there (they require '>'), so only <!-- / <! / <? need
+# structural dispatch; '<letter'/'</' sequences are handled by the gap path
+_TOKEN_NOGT = re.compile(r"<(?:!--|[!?])")
+
 # stdlib HTMLParser treats these as CDATA: raw text until the close pattern
 # set_cdata_mode installs — r'</\s*tag\s*>' exactly, so '</script foo>' does
 # NOT close the element and '</ script >' DOES (html/parser.py:122-124)
@@ -358,12 +363,12 @@ class _FastBlockParser(_BlockParser):
     # terminator class per document is the worst case now.
 
     def _find_gt(self, s: str, i: int) -> int:
-        if self._gt_gone:
+        # O(1) negative via the document's LAST '>' (computed once in
+        # feed): a '>'-search past it cannot succeed, so unterminated
+        # floods ('</ x' × 50k, measured 98 s) never rescan to EOF
+        if i > self._last_gt:
             return -1
-        k = s.find(">", i)
-        if k < 0:
-            self._gt_gone = True
-        return k
+        return s.find(">", i)
 
     def _recovery(self, s: str, i: int) -> int:
         """Memo-aware twin of :func:`_recovery_end`."""
@@ -491,11 +496,11 @@ class _FastBlockParser(_BlockParser):
         </> (silently consumed), and bogus comments (</ div> swallowed to
         the next '>'). Returns the resume position."""
         n = len(html_text)
-        gt = html_text.find(">", i + 1)
+        gt = self._find_gt(html_text, i + 1)
         if gt == -1:
             # incomplete at end of input: goahead recovery (data through
             # the next '<', or one char)
-            k = _recovery_end(html_text, i)
+            k = self._recovery(html_text, i)
             data = html_text[i:k]
             self.handle_data(unescape(data) if "&" in data else data)
             return k
@@ -547,14 +552,32 @@ class _FastBlockParser(_BlockParser):
         pos = 0
         n = len(html_text)
         handle_data = self.handle_data
-        # per-document memo flags for the terminator searches (see the
-        # memoized-search block above)
-        self._gt_gone = False
+        # per-document memo state for the terminator searches (see the
+        # memoized-search block above); _last_gt makes every '>'-probe
+        # past the final '>' O(1)-negative
+        self._last_gt = html_text.rfind(">")
         self._comment_gone = False
         self._mk_gone = False
         self._ms_gone = False
+        self._nogt_miss = False
         while pos < n:
-            m = _TOKEN.search(html_text, pos)
+            if pos > self._last_gt:
+                # no '>' remains: no tag/comment/section can ever close,
+                # so only the prefix constructs (<!--, <!, <?) need
+                # structural dispatch; '<letter'/'</' go through the gap
+                # path. Searching with the full _TOKEN here would re-scan
+                # the tail per '<' via the attrs alternative — O(n²) on
+                # '<p a' floods — so use the prefix-only pattern, and
+                # memoize ITS first miss too (same suffix argument)
+                if self._nogt_miss:
+                    m = None
+                else:
+                    m = _TOKEN_NOGT.search(html_text, pos)
+                    if m is None:
+                        self._nogt_miss = True
+                slash = name = attrs = None
+            else:
+                m = _TOKEN.search(html_text, pos)
             gap_end = m.start() if m is not None else n
             if gap_end > pos:
                 # common case inlined: plain text with no stray '<' inside
@@ -571,7 +594,9 @@ class _FastBlockParser(_BlockParser):
             if m is None:
                 break
             pos = m.end()
-            slash, name, attrs = m.group(1, 2, 3)  # one C call, not three
+            if m.re is _TOKEN:
+                slash, name, attrs = m.group(1, 2, 3)  # one C call, not 3
+            # (_TOKEN_NOGT has no groups: slash/name/attrs stay None)
             if name is None:  # comment / doctype / PI / marked section
                 i0 = m.start()
                 if html_text.startswith("<!--", i0):

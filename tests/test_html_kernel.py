@@ -324,7 +324,8 @@ def test_adversarial_inputs_parse_in_linear_time():
     from gemini_ocr_batch_spark.kernels.html_extract import segment_blocks
 
     for page in ["<!-- x" * 50000, "<![CDATA[ x" * 20000, "<? x" * 50000,
-                 "<![endif>" * 50000, "<![if x>" * 50000]:
+                 "<![endif>" * 50000, "<![if x>" * 50000,
+                 "</ x" * 50000, "</p.x" * 50000, "</p foo" * 50000]:
         t0 = time.perf_counter()
         segment_blocks(page)
         assert time.perf_counter() - t0 < 5.0, "quadratic parse regressed"
