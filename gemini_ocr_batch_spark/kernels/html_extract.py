@@ -616,7 +616,10 @@ class _FastBlockParser(_BlockParser):
                     if gt >= 0:
                         pos = gt + 1
                     else:
-                        k = _recovery_end(html_text, i0)
+                        # memo-aware recovery: the module-level
+                        # _recovery_end would re-find('>') to EOF per
+                        # occurrence — O(n²) on '<! x'/'<? x' floods
+                        k = self._recovery(html_text, i0)
                         data = html_text[i0:k]
                         handle_data(unescape(data) if "&" in data else data)
                         pos = k

@@ -340,9 +340,9 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
 #   label(v) ← min(label(v), min over neighbors u of label(u))
 #
 # Each round is one 8-byte-key shuffle (join + groupBy min); labels only
-# ever decrease, so sum(label) is a strictly decreasing convergence
-# measure and the loop exits the first round nothing changes. Rounds
-# needed = graph diameter. For near-dup graphs that is tiny (a dup
+# ever decrease, so "no row's label changed" is the fixpoint, detected by
+# a short-circuit changed-row count that works for any orderable id type
+# (bigint OR string). Rounds needed = graph diameter. For near-dup graphs that is tiny (a dup
 # cluster's pairs all share LSH buckets, so clusters are dense and
 # shallow — diameter 2-4 in practice), which makes propagation CHEAPER
 # than the O(log²n)-round star-contraction algorithms (Kiveris et al.,
@@ -376,26 +376,25 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
         .select("doc", F.col("doc").alias("component"))
         .localCheckpoint(eager=True)
     )
-    # decimal(38) accumulator: labels only ever DECREASE, so a strictly
-    # smaller sum == progress and an equal sum == fixpoint — but a bigint
-    # sum could overflow at (huge id) x (huge vertex count) and alias two
-    # different states; decimal makes the convergence test exact
-    def _label_sum(df):
-        return df.agg(
-            F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
-        ).collect()[0]["s"]
-
-    total = _label_sum(labels)
+    # Fixpoint test = COUNT of rows whose label changed this round — type
+    # agnostic (string/bigint/any orderable id; a numeric label-sum
+    # accumulator silently returns NULL==NULL on string ids and would
+    # exit after one round), exact (no overflow aliasing), and cheap: the
+    # filter runs over the already-materialized localCheckpoint, and
+    # ``limit(1)`` short-circuits the scan the moment one changed row is
+    # seen, so converged rounds pay a scan and progressing rounds pay
+    # almost nothing.
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges["src"] == labels["doc"])
             .groupBy(F.col("dst").alias("doc"))
             .agg(F.min("component").alias("nbr_min"))
         )
-        labels = (
+        stepped = (
             labels.join(neighbor_min, "doc", "left")
             .select(
                 "doc",
+                F.col("component").alias("prev_component"),
                 F.least(
                     F.col("component"),
                     F.coalesce(F.col("nbr_min"), F.col("component")),
@@ -403,10 +402,14 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
             )
             .localCheckpoint(eager=True)
         )
-        new_total = _label_sum(labels)
-        if new_total == total:
+        labels = stepped.select("doc", "component")
+        changed = (
+            stepped.filter(F.col("component") != F.col("prev_component"))
+            .limit(1)
+            .count()
+        )
+        if changed == 0:
             return labels
-        total = new_total
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds — "
         "pair graph has pathological diameter"

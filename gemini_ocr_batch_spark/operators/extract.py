@@ -240,8 +240,11 @@ def extract_pages(
         # many-row-group single file that shuffle is redundant but
         # harmless; for the pathological file it is a cores× win.
         try:
-            n_files = len(slim.inputFiles())
-        except Exception:  # non-file source (memory, stream)
+            # [] (not an exception) for in-memory/LocalRelation sources —
+            # treat it like the non-file path, else every non-file source
+            # would count as "0 files" and force a redundant salt shuffle
+            n_files = len(slim.inputFiles()) or src_parts
+        except Exception:  # non-file source (stream)
             n_files = src_parts
         effective = min(src_parts, max(n_files, 1))
         salt = effective < max(2, parts // 2)

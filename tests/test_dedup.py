@@ -146,6 +146,24 @@ def test_connected_components_matches_union_find(spark):
     assert got == _uf_components(pairs)
 
 
+def test_connected_components_string_ids(spark):
+    """Regression (r4 ADVICE): string doc ids. The old decimal-sum
+    fixpoint cast string ids to NULL, so the sum was None every round and
+    the loop exited after ONE propagation — wrong for any diameter>1
+    graph. The changed-row fixpoint must converge the full chain."""
+    from gemini_ocr_batch_spark.operators.dedup import connected_components
+
+    # chain a-b-c-d-e (diameter 4: needs >1 round), plus a separate pair
+    pairs = [("b", "a"), ("c", "b"), ("d", "c"), ("e", "d"), ("y", "x")]
+    df = spark.createDataFrame(pairs, "doc_a string, doc_b string")
+    got = {
+        r["doc"]: r["component"]
+        for r in connected_components(df).collect()
+    }
+    assert got == _uf_components(pairs)
+    assert got["e"] == "a"  # the label must travel the whole chain
+
+
 def test_connected_components_on_lsh_pairs(spark, sf_dir):
     """End-to-end over real minhash pairs at sf0.001: the Spark components
     equal union-find over the same pair list."""

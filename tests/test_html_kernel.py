@@ -318,14 +318,32 @@ def test_adversarial_inputs_parse_in_linear_time():
     linear time. Each failed terminator search is memoized per document
     (a search that failed from p fails from any p' > p), so the worst
     case is ONE full scan per terminator class — pre-fix, 300 KB of
-    '<!-- x' took 206 s (O(n²)); now it must be near-instant."""
+    '<!-- x' took 206 s (O(n²)).
+
+    Asserts a SCALING RATIO — best-of-2 at n and 2n reps, 2n must cost
+    ≤ ~3× n — not an absolute wall-clock bound: this host has ±50%
+    run-to-run noise and a fixed 5 s line can flake under contention,
+    while a quadratic regression shows ~4× regardless of load."""
     import time
 
     from gemini_ocr_batch_spark.kernels.html_extract import segment_blocks
 
-    for page in ["<!-- x" * 50000, "<![CDATA[ x" * 20000, "<? x" * 50000,
-                 "<![endif>" * 50000, "<![if x>" * 50000,
-                 "</ x" * 50000, "</p.x" * 50000, "</p foo" * 50000]:
-        t0 = time.perf_counter()
-        segment_blocks(page)
-        assert time.perf_counter() - t0 < 5.0, "quadratic parse regressed"
+    for unit, reps in [("<!-- x", 50000), ("<![CDATA[ x", 20000),
+                       ("<? x", 50000), ("<![endif>", 50000),
+                       ("<![if x>", 50000), ("</ x", 50000),
+                       ("</p.x", 50000), ("</p foo", 50000)]:
+        def timed(k):
+            page = unit * k
+            t0 = time.perf_counter()
+            segment_blocks(page)
+            return time.perf_counter() - t0
+
+        timed(reps // 4)  # warm-up
+        t1 = min(timed(reps), timed(reps))
+        t2 = min(timed(reps * 2), timed(reps * 2))
+        # linear → ~2×; quadratic → ~4×. 3.2× + a 50 ms floor (tiny
+        # absolute times are dominated by allocator jitter)
+        assert t2 <= 3.2 * t1 + 0.05, (
+            f"superlinear parse for {unit!r}: t(n)={t1:.3f}s "
+            f"t(2n)={t2:.3f}s"
+        )

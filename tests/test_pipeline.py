@@ -252,6 +252,28 @@ def test_single_row_group_input_still_parallelizes(spark, tmp_path):
     assert n_parts > 1, "single-row-group file must be salted across cores"
 
 
+def test_auto_salt_skips_inmemory_sources(spark):
+    """Regression (r4 ADVICE): DataFrame.inputFiles() returns [] — not an
+    exception — for in-memory/LocalRelation sources. Counting that as
+    "0 files" made salt='auto' distrust EVERY non-file source and pay a
+    full salt shuffle even when it was already well-partitioned. An
+    in-memory source spread across >= parallelism slices must plan ZERO
+    exchanges before the kernel."""
+    from gemini_ocr_batch_spark.datagen import generate_rows
+    from gemini_ocr_batch_spark.operators.extract import extract_pages
+
+    rows = [(r[0], r[1], r[2]) for r in generate_rows(64, seed=7)]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary"
+    ).repartition(8)
+    assert pages.inputFiles() == []  # precondition: the [] regime
+    out = extract_pages(pages, n_partitions=4, salt="auto")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the repartition(8) exchange is below the kernel's scan boundary;
+    # a salt_by_size would add a hashpartitioning exchange on the salt
+    assert plan.count("Exchange") <= 1, plan
+
+
 def test_datagen_writes_splittable_row_groups(tmp_path):
     import pyarrow.parquet as pq
 
