@@ -468,24 +468,82 @@ def _q_winnow_fingerprints(spark, sf_dir):
 
     out = winnow_fingerprints(_t(spark, sf_dir, "documents"))
     return out.select(
-        "doc_id", F.size("fingerprints").alias("n_fp")
+        "doc_id", F.size("fingerprints").alias("n_fp"), "fingerprints"
     ).orderBy("doc_id")
+
+
+# Fixed literal ANN query vector + IVF centroids: seeded Gaussians known
+# to BOTH engines as inlined literals. No data-dependent `.first()` probe
+# at query-construction time (the r3 bench paid a ~0.3 s extra job +
+# 64-literal re-analysis per timed rep for it), parity holds at ANY sf,
+# and the DuckDB oracles can replay assignment + top-k exactly.
+def _seeded_gaussians(n: int, dim: int, seed: int) -> list[list[float]]:
+    import random
+
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n)]
+
+
+_ANN_DIM = 64
+_ANN_QUERY_VEC = _seeded_gaussians(1, _ANN_DIM, 101)[0]
+_IVF_K = 8
+_IVF_CENTROIDS = _seeded_gaussians(_IVF_K, _ANN_DIM, 103)
+_IVF_N_PROBE = 2
 
 
 def _q_ann_bruteforce(spark, sf_dir):
     from gemini_ocr_batch_spark.operators.similarity import brute_force_topk
 
     emb = _t(spark, sf_dir, "embeddings")
-    q = [float(v) for v in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
-    return brute_force_topk(emb, q, k=10).select("vec_id", "rank")
+    return brute_force_topk(emb, _ANN_QUERY_VEC, k=10).select("vec_id", "rank")
 
 
 def _q_ann_lsh(spark, sf_dir):
     from gemini_ocr_batch_spark.operators.similarity import lsh_topk
 
     emb = _t(spark, sf_dir, "embeddings")
-    q = [float(v) for v in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
-    return lsh_topk(emb, q, k=10, n_planes=6).select("vec_id", "rank")
+    return lsh_topk(emb, _ANN_QUERY_VEC, k=10, n_planes=6).select(
+        "vec_id", "rank"
+    )
+
+
+def _q_ann_ivf(spark, sf_dir):
+    # IVF with FIXED literal centroids (no KMeans fit) so the assignment
+    # and probed-cell top-k are exactly oracle-replayable; the fitted
+    # (KMeans) path stays engine-tested in tests/test_similarity_textstats.
+    from gemini_ocr_batch_spark.operators.similarity import ivf_assign, ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    index = ivf_assign(emb, _IVF_CENTROIDS)
+    out = ivf_topk(
+        index, _IVF_CENTROIDS, _ANN_QUERY_VEC, k=10, n_probe=_IVF_N_PROBE
+    )
+    return out.select(F.col("id").alias("vec_id"), "rank")
+
+
+def _q_ivf_cell_counts(spark, sf_dir):
+    # Full-corpus IVF assignment check: every vector's argmin-centroid
+    # must match the oracle's bit-for-bit (left-assoc distance folds), not
+    # just the probed/top-k subset that ann_ivf exercises.
+    from gemini_ocr_batch_spark.operators.similarity import ivf_assign
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        ivf_assign(emb, _IVF_CENTROIDS)
+        .groupBy("centroid_id")
+        .agg(F.count("*").alias("n_vecs"), F.min("id").alias("min_id"))
+        .orderBy("centroid_id")
+    )
+
+
+def _q_near_dedup_components(spark, sf_dir):
+    # pairs → connected components → keep-list, end to end (the r3
+    # flagship operators, driver-verified against a recursive-CTE
+    # union-find oracle over the same LSH candidate pairs).
+    from gemini_ocr_batch_spark.operators.dedup import near_dedup_keep_list
+
+    docs = _t(spark, sf_dir, "documents")
+    return near_dedup_keep_list(docs)
 
 
 def _q_windowed_counts(spark, sf_dir):
@@ -760,18 +818,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_filter": _q_range_filter,
         "shape_predicate": _q_shape_predicate,
         "key_format_parse": _q_key_format_parse,
-        "slug": _q_slug,
-        "iso_format": _q_iso_format,
         # joins / windows (J*/W*)
         "dependency_lag": _q_dependency_lag,
         # NOTE: the driver's correctness harness records at most 50 query
         # rows; r2 registered 51 and the 51st (asset_metadata, the only S4
-        # check) was silently dropped.  W3 lag-context is driver-verified
-        # through the strictly stronger, job-wired `prev_context_pipeline`
-        # entry, so the query-only `lag_context` twin is retired from the
-        # driver registry to `local_parity()` (same pytest oracle gate,
-        # not driver-registered), keeping the registry at exactly 50
-        # entries with asset_metadata inside.
+        # check) was silently dropped.  Redundant single-function scalar
+        # checks (lag_context r3; slug, iso_format, string_tail r4) are
+        # retired to `local_parity()` — same pytest oracle gate, not
+        # driver-registered — to keep the registry at exactly 50 with
+        # every real operator family inside (r4: the connected-components
+        # keep-list and fixed-centroid IVF take the freed slots).
         "semi_join": _q_semi_join,
         "star_join": _q_star_join,
         # aggregations (A*)
@@ -788,7 +844,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sorts/limits/set ops (L*/SO*)
         "ordered_limit": _q_ordered_limit,
         "recency_limit": _q_recency_limit,
-        "string_tail": _q_string_tail,
         "set_except": _q_set_except,
         # training-data pipeline
         "dedup_exact": _q_dedup_exact,
@@ -805,8 +860,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_fence_rescue": _q_json_fence_rescue,
         "json_validate": _q_json_validate,
         "sessionize": _q_sessionize,
+        "near_dedup_components": _q_near_dedup_components,
         "ann_bruteforce": _q_ann_bruteforce,
         "ann_lsh": _q_ann_lsh,
+        "ann_ivf": _q_ann_ivf,
+        "ivf_cell_counts": _q_ivf_cell_counts,
         "embedding_norm": _q_embedding_norm,
         "embedding_near_dup": _q_embedding_near_dup,
         "windowed_counts": _q_windowed_counts,
@@ -992,7 +1050,9 @@ def _embedding_near_dup_oracle_sql(dim: int = 64, n_planes: int = 4,
 def _ann_lsh_oracle_sql(dim: int = 64, n_planes: int = 6, seed: int = 13,
                         k: int = 10) -> str:
     """DuckDB twin of lsh_topk (see _bucket_expr_sql for the hyperplane
-    inlining / fold-order matching)."""
+    inlining / fold-order matching); the query vector is the fixed
+    literal _ANN_QUERY_VEC, its bucket computed engine-side by the same
+    bucket expression."""
     bucket_expr = _bucket_expr_sql(dim, n_planes, seed)
     return f"""
             WITH e AS (
@@ -1004,7 +1064,8 @@ def _ann_lsh_oracle_sql(dim: int = 64, n_planes: int = 6, seed: int = 13,
                      {bucket_expr} AS bucket
               FROM e
             ),
-            q AS (SELECT v AS qv, bucket AS qb FROM b WHERE vec_id = 0),
+            qraw AS (SELECT {_vec_sql_literal(_ANN_QUERY_VEC)} AS v),
+            q AS (SELECT v AS qv, {bucket_expr} AS qb FROM qraw),
             scored AS (
               SELECT vec_id, list_cosine_similarity(v, qv) AS c
               FROM b, q WHERE b.bucket = q.qb
@@ -1014,6 +1075,158 @@ def _ann_lsh_oracle_sql(dim: int = 64, n_planes: int = 6, seed: int = 13,
                      row_number() OVER (ORDER BY c DESC, vec_id) AS rank
               FROM scored
             ) WHERE rank <= {k} ORDER BY rank
+        """
+
+
+def _vec_sql_literal(vec: list[float]) -> str:
+    """A float vector as a DuckDB DOUBLE[] literal (repr round-trips
+    doubles exactly)."""
+    return "CAST([" + ", ".join(repr(float(v)) for v in vec) + "] AS DOUBLE[])"
+
+
+def _ivf_index_ctes() -> str:
+    """CTEs computing the fixed-centroid IVF assignment: per-centroid
+    squared-L2 distance as an explicit left-associated sum (bit-for-bit
+    the same doubles as Spark's F.aggregate fold in similarity.ivf_assign),
+    argmin via list_position on the identical values."""
+    dist_exprs = []
+    for cent in _IVF_CENTROIDS:
+        terms = " + ".join(
+            f"(v[{j + 1}]-({c!r}))*(v[{j + 1}]-({c!r}))"
+            for j, c in enumerate(cent)
+        )
+        dist_exprs.append(f"(0.0 + {terms})")
+    dists = ",\n                       ".join(dist_exprs)
+    return f"""
+            e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings
+            ),
+            dists AS (
+              SELECT vec_id, v,
+                     [{dists}] AS d
+              FROM e
+            ),
+            idx AS (
+              SELECT vec_id, v,
+                     CAST(list_position(d, list_min(d)) - 1 AS INT)
+                       AS centroid_id
+              FROM dists
+            )
+    """
+
+
+def _ann_ivf_oracle_sql(k: int = 10) -> str:
+    """DuckDB twin of _q_ann_ivf: same fixed centroids, same probe set
+    (similarity.ivf_probe_order — the identical driver-side Python both
+    sides), exact top-k within the probed cells."""
+    from gemini_ocr_batch_spark.operators.similarity import ivf_probe_order
+
+    probed = ivf_probe_order(_IVF_CENTROIDS, _ANN_QUERY_VEC)[:_IVF_N_PROBE]
+    probe_list = ", ".join(str(int(p)) for p in probed)
+    return f"""
+            WITH {_ivf_index_ctes()},
+            scored AS (
+              SELECT vec_id,
+                     list_cosine_similarity(v, {_vec_sql_literal(_ANN_QUERY_VEC)}) AS c
+              FROM idx WHERE centroid_id IN ({probe_list})
+            )
+            SELECT vec_id, rank FROM (
+              SELECT vec_id,
+                     row_number() OVER (ORDER BY c DESC, vec_id) AS rank
+              FROM scored
+            ) WHERE rank <= {k} ORDER BY rank
+        """
+
+
+def _ivf_cell_counts_oracle_sql() -> str:
+    return f"""
+            WITH {_ivf_index_ctes()}
+            SELECT centroid_id, count(*) AS n_vecs, min(vec_id) AS min_id
+            FROM idx GROUP BY centroid_id ORDER BY centroid_id
+        """
+
+
+def _near_dedup_components_oracle_sql() -> str:
+    """Recursive-CTE union-find over the SAME LSH candidate pairs as
+    Spark's minhash_lsh_pairs (shared _minhash_oracle_sql): component of
+    a vertex = min id reachable from it; keep = is its own component."""
+    return f"""
+            WITH RECURSIVE pairs AS (
+              {_minhash_oracle_sql()}
+            ),
+            edges AS (
+              SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION
+              SELECT doc_b AS src, doc_a AS dst FROM pairs
+            ),
+            verts AS (SELECT DISTINCT src AS doc FROM edges),
+            reach(src, dst) AS (
+              SELECT doc, doc FROM verts
+              UNION
+              SELECT e.src, r.dst
+              FROM edges e JOIN reach r ON r.src = e.dst
+            ),
+            comp AS (
+              SELECT src AS doc, min(dst) AS component
+              FROM reach GROUP BY src
+            )
+            SELECT doc AS doc_id, component, doc = component AS keep
+            FROM comp ORDER BY doc_id
+        """
+
+
+def _winnow_oracle_sql() -> str:
+    """DuckDB twin of textstats.winnow_fingerprints (_winnow_one):
+    polynomial rolling hash over char 5-grams == the direct per-gram
+    polynomial mod 2^31-1 (exact integers both sides), min per window of
+    8 via a ROWS frame, consecutive-dedup via lag (out[-1] always equals
+    the previous window's min, so value-lag is the identical rule)."""
+    from gemini_ocr_batch_spark.operators.textstats import WINNOW_K, WINNOW_W
+
+    B, M = 131, (1 << 31) - 1
+    terms = " + ".join(
+        f"ascii(substr(s, i+{j}, 1)) * CAST({B ** (WINNOW_K - 1 - j)} AS BIGINT)"
+        for j in range(WINNOW_K)
+    )
+    return f"""
+            WITH d AS (
+              SELECT doc_id,
+                     array_to_string(regexp_split_to_array(
+                       trim(lower(text)), '\\s+'), ' ') AS s
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id, i, (({terms}) % {M}) AS h
+              FROM d, generate_series(1, 4096) AS g(i)
+              WHERE i <= length(s) - {WINNOW_K - 1}
+            ),
+            wins AS (
+              SELECT doc_id, i,
+                     min(h) OVER (PARTITION BY doc_id ORDER BY i
+                                  ROWS BETWEEN {WINNOW_W - 1} PRECEDING
+                                           AND CURRENT ROW) AS m,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY i)
+                       AS rn
+              FROM grams
+            ),
+            kept AS (
+              SELECT doc_id, i, m,
+                     lag(m) OVER (PARTITION BY doc_id ORDER BY i) AS pm
+              FROM wins WHERE rn >= {WINNOW_W}
+            ),
+            fp AS (
+              SELECT doc_id,
+                     CAST(count(*) AS INT) AS n_fp,
+                     list(m ORDER BY i) AS fingerprints
+              FROM kept WHERE pm IS NULL OR m <> pm
+              GROUP BY doc_id
+            )
+            SELECT docs.doc_id,
+                   COALESCE(fp.n_fp, 0) AS n_fp,
+                   COALESCE(fp.fingerprints, []) AS fingerprints
+            FROM documents docs LEFT JOIN fp USING (doc_id)
+            ORDER BY doc_id
         """
 
 
@@ -1074,6 +1287,36 @@ def local_parity() -> dict[str, tuple]:
             FROM events ORDER BY event_id
             """,
         ),
+        # r4: redundant single-function scalar checks retired from the
+        # driver registry to free slots for near_dedup_components /
+        # ann_ivf / ivf_cell_counts (still oracle-gated here every run).
+        "slug": (
+            _q_slug,
+            """
+            SELECT p_partkey,
+                   regexp_replace(regexp_replace(lower(p_name),
+                       '[^a-z0-9]+', '-', 'g'), '^-+|-+$', '', 'g') AS slug
+            FROM part ORDER BY p_partkey
+            """,
+        ),
+        "iso_format": (
+            _q_iso_format,
+            """
+            SELECT event_id, strftime(ts, '%Y-%m-%dT%H:%M:%S') AS ts_iso
+            FROM events ORDER BY event_id
+            """,
+        ),
+        "string_tail": (
+            _q_string_tail,
+            f"""
+            SELECT doc_id,
+                   right(text, 30) AS tail_chars,
+                   array_to_string(list_slice({_TOKENS_RAW},
+                        greatest(len({_TOKENS_RAW}) - 2, 1),
+                        len({_TOKENS_RAW})), ' ') AS last_words
+            FROM documents ORDER BY doc_id
+            """,
+        ),
     }
 
 
@@ -1124,16 +1367,6 @@ def oracle_sql() -> dict[str, str]:
             SELECT key,
                    CAST(string_split(key, ':')[2] AS INT) AS nation_parsed
             FROM keyed ORDER BY key
-        """,
-        "slug": """
-            SELECT p_partkey,
-                   regexp_replace(regexp_replace(lower(p_name),
-                       '[^a-z0-9]+', '-', 'g'), '^-+|-+$', '', 'g') AS slug
-            FROM part ORDER BY p_partkey
-        """,
-        "iso_format": """
-            SELECT event_id, strftime(ts, '%Y-%m-%dT%H:%M:%S') AS ts_iso
-            FROM events ORDER BY event_id
         """,
         "dependency_lag": """
             SELECT user_id, event_id,
@@ -1189,14 +1422,6 @@ def oracle_sql() -> dict[str, str]:
         """,
         "recency_limit": """
             SELECT event_id, ts FROM events ORDER BY ts DESC, event_id LIMIT 50
-        """,
-        "string_tail": f"""
-            SELECT doc_id,
-                   right(text, 30) AS tail_chars,
-                   array_to_string(list_slice({_TOKENS_RAW},
-                        greatest(len({_TOKENS_RAW}) - 2, 1),
-                        len({_TOKENS_RAW})), ' ') AS last_words
-            FROM documents ORDER BY doc_id
         """,
         "set_except": """
             SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
@@ -1424,12 +1649,12 @@ def oracle_sql() -> dict[str, str]:
             FROM sessions GROUP BY user_id, session_id
             ORDER BY user_id, session_id
         """,
-        "ann_bruteforce": """
-            WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        "ann_bruteforce": f"""
+            WITH q AS (SELECT {_vec_sql_literal(_ANN_QUERY_VEC)} AS qv),
             scored AS (
               SELECT vec_id,
                      list_cosine_similarity(
-                       CAST(embedding AS DOUBLE[]), CAST(qv AS DOUBLE[])) AS c
+                       CAST(embedding AS DOUBLE[]), qv) AS c
               FROM embeddings, q
             )
             SELECT vec_id, rank FROM (
@@ -1458,6 +1683,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "simhash_near_pairs": _simhash_near_oracle_sql(),
         "ann_lsh": _ann_lsh_oracle_sql(),
+        "ann_ivf": _ann_ivf_oracle_sql(),
+        "ivf_cell_counts": _ivf_cell_counts_oracle_sql(),
+        "near_dedup_components": _near_dedup_components_oracle_sql(),
+        "winnow_fingerprints": _winnow_oracle_sql(),
         "embedding_near_dup": _embedding_near_dup_oracle_sql(),
         "windowed_counts": """
             SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS ws_us,
@@ -1479,8 +1708,4 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY source ORDER BY source
         """,
         "extraction_resume_antijoin": _extraction_resume_oracle_sql(),
-        # no-oracle (rows-only) entry intentionally omitted:
-        # winnow_fingerprints (rolling-hash winnowing not expressible in
-        # portable SQL — cross-checked by an independent pure-Python oracle
-        # in tests/test_similarity_textstats.py instead)
     }

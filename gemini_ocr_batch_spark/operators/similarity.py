@@ -178,6 +178,64 @@ def embedding_near_dup_pairs(
 # then exact cosine within the probed cells only.
 
 
+def _metadata_row_count(df: DataFrame):
+    """Row count from parquet footer metadata — driver-side, zero data
+    scanned. Returns None when the source is not local parquet files
+    (in-memory, stream, object store without a local mirror)."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files or not all(f.startswith("file:") for f in files):
+        return None
+    try:
+        import pyarrow.parquet as pq
+
+        return sum(
+            pq.ParquetFile(f[len("file:"):]).metadata.num_rows
+            for f in files
+        )
+    except Exception:
+        return None
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its nearest FIXED centroid (squared L2,
+    lowest index wins ties) — pure JVM column expressions, no ML fit.
+
+    The oracle-friendly twin of ``ivf_build``'s KMeans assignment: with
+    literal centroids, the per-centroid distance is a left-associated
+    fold any SQL engine can replay bit-for-bit, so the assignment (and
+    hence the whole IVF index) is exactly reproducible outside Spark.
+    Returns (id, v, centroid_id) — ``ivf_topk``'s index schema.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    dists = F.array(*[
+        F.aggregate(
+            F.zip_with(
+                v,
+                F.array(*[F.lit(float(c)) for c in cent]),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+        for cent in centroids
+    ])
+    return spread_small_input(embeddings).select(
+        F.col(id_col).alias("id"),
+        v.alias("v"),
+        (F.array_position(dists, F.array_min(dists)) - 1)
+        .cast("int")
+        .alias("centroid_id"),
+    )
+
+
 def ivf_build(
     embeddings: DataFrame,
     k_centroids: int = 16,
@@ -207,7 +265,12 @@ def ivf_build(
     )
     fit_src = src
     if sample_frac is None:
-        n = src.count()
+        # sizing only: prefer the parquet footer row count (driver-side
+        # metadata, no scan) — a count() full pass just to pick a sample
+        # fraction would be an extra pass over 10^12 rows
+        n = _metadata_row_count(embeddings)
+        if n is None:  # non-file source; small/test data, pay the pass
+            n = src.count()
         target = 100_000 * k_centroids
         sample_frac = min(1.0, target / max(n, 1))
     if sample_frac < 1.0:
@@ -223,6 +286,21 @@ def ivf_build(
     return assigned, centroids
 
 
+def ivf_probe_order(
+    centroids: list[list[float]], query_vec: list[float]
+) -> list[int]:
+    """Centroid indices by descending cosine to the query (driver-side,
+    k×dim floats). Shared by ``ivf_topk`` and the entry-file oracle
+    generator so both pick the identical probe set."""
+    qn = math.sqrt(sum(x * x for x in query_vec)) or 1.0
+
+    def cos(c):
+        cn = math.sqrt(sum(x * x for x in c)) or 1.0
+        return sum(a * b for a, b in zip(query_vec, c)) / (qn * cn)
+
+    return sorted(range(len(centroids)), key=lambda i: -cos(centroids[i]))
+
+
 def ivf_topk(
     index_df: DataFrame,
     centroids: list[list[float]],
@@ -236,15 +314,7 @@ def ivf_topk(
     Returns (id, rank, cosine) with brute_force_topk's exact schema, so
     recall is directly measurable against it (tests pin recall@k).
     """
-    qn = math.sqrt(sum(x * x for x in query_vec)) or 1.0
-
-    def cos(c):
-        cn = math.sqrt(sum(x * x for x in c)) or 1.0
-        return sum(a * b for a, b in zip(query_vec, c)) / (qn * cn)
-
-    probed = sorted(
-        range(len(centroids)), key=lambda i: -cos(centroids[i])
-    )[: max(1, n_probe)]
+    probed = ivf_probe_order(centroids, query_vec)[: max(1, n_probe)]
     q = F.array(*[F.lit(float(v)) for v in query_vec])
     scored = (
         index_df.filter(F.col("centroid_id").isin([int(p) for p in probed]))
