@@ -32,21 +32,34 @@ def stream_extract(
     out_dir: str,
     checkpoint_dir: str,
     available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+    salt: bool = True,
 ):
     """readStream(pages parquet dir) → extraction kernel → parquet sink.
 
     Returns the started StreamingQuery. ``available_now=True`` drains
     what's currently in the directory then stops — the micro-batch analog
     of one reference wave (Trigger.AvailableNow ≙ run-once poll loop).
+
+    Throughput levers (r4 — the untuned r3 surface ran at 19k vs 81k
+    batch docs/s):
+
+    - ``max_files_per_trigger``: default UNCAPPED — an availableNow drain
+      processes the backlog as one maximal batch instead of serializing
+      ceil(files/8) micro-batches. Set a cap only for continuous mode,
+      to bound per-batch latency/memory against a growing landing dir.
+    - ``salt=True``: per-micro-batch salted repartition (a stateless
+      exchange — legal in append-mode streaming) spreads the kernel
+      across all cores even when a batch arrives as a few coarse files;
+      the batch path's `salt='auto'` split inspection can't run on a
+      streaming frame, and a landing directory is exactly the few-files
+      regime that needs the shuffle.
     """
-    pages = (
-        spark.readStream.schema(PAGES_SCHEMA)
-        .option("maxFilesPerTrigger", 8)
-        .parquet(pages_dir)
-    )
-    # salting repartitions by a stable hash — allowed in append-mode
-    # streaming (stateless narrow/exchange ops only)
-    extracted = extract_pages(pages, n_partitions=None, salt=False)
+    pages = spark.readStream.schema(PAGES_SCHEMA)
+    if max_files_per_trigger is not None:
+        pages = pages.option("maxFilesPerTrigger", max_files_per_trigger)
+    pages = pages.parquet(pages_dir)
+    extracted = extract_pages(pages, n_partitions=None, salt=salt)
     writer = (
         extracted.writeStream.format("parquet")
         .option("path", out_dir)
