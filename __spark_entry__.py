@@ -1273,6 +1273,44 @@ def _extraction_resume_oracle_sql() -> str:
         """
 
 
+def _q_stream_dedup_twin(spark, sf_dir):
+    # Batch-equivalence for the streaming exact dedup (VERDICT r3 item 7):
+    # documents + a replicated doc_id%5 subset are streamed through
+    # stream_dedup_exact (a REAL availableNow stream — Spark rejects
+    # dropDuplicatesWithinWatermark on batch frames), and the surviving
+    # digest set must equal the batch exact-dedup distinct-digest set.
+    import tempfile
+
+    from gemini_ocr_batch_spark.streaming.pipeline import stream_dedup_exact
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        "text",
+    )
+    dups = docs.filter(F.col("doc_id") % 5 == 0).select(
+        F.lit("2024-01-01 00:10:00").cast("timestamp").alias("warc_ts"),
+        "text",
+    )
+    staged = tempfile.mkdtemp(prefix="sdtwin_")
+    base.union(dups).write.mode("overwrite").parquet(staged + "/pages")
+    stream = spark.readStream.schema("warc_ts timestamp, text string").parquet(
+        staged + "/pages"
+    )
+    q = (
+        stream_dedup_exact(stream)
+        .select("content_hash")
+        .writeStream.format("memory")
+        .queryName("sdtwin")
+        .outputMode("append")
+        .option("checkpointLocation", staged + "/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql("SELECT content_hash FROM sdtwin ORDER BY content_hash")
+
+
 def local_parity() -> dict[str, tuple]:
     """(query, oracle SQL) pairs verified ONLY by the local pytest parity
     gate, not registered with the driver (its harness records at most 50
@@ -1304,6 +1342,13 @@ def local_parity() -> dict[str, tuple]:
             """
             SELECT event_id, strftime(ts, '%Y-%m-%dT%H:%M:%S') AS ts_iso
             FROM events ORDER BY event_id
+            """,
+        ),
+        "stream_dedup_twin": (
+            _q_stream_dedup_twin,
+            """
+            SELECT DISTINCT md5(text) AS content_hash
+            FROM documents ORDER BY content_hash
             """,
         ),
         "string_tail": (
