@@ -546,6 +546,49 @@ def _q_near_dedup_components(spark, sf_dir):
     return near_dedup_keep_list(docs)
 
 
+def _q_redact_pii(spark, sf_dir):
+    # r4 webtext corpus-prep: the corpus has no PII, so a deterministic
+    # contact line (derived from doc_id, replayable in SQL) is appended to
+    # guarantee every row exercises both patterns non-trivially.
+    from gemini_ocr_batch_spark.operators.webtext import redact_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com at 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7"),
+        ).alias("text"),
+    )
+    return redact_pii(seeded)
+
+
+def _q_repetition_score(spark, sf_dir):
+    from gemini_ocr_batch_spark.operators.webtext import repetition_score
+
+    return repetition_score(_t(spark, sf_dir, "documents"))
+
+
+def _q_canonicalize_urls(spark, sf_dir):
+    # mixed-case host, unsorted params, tracking params, fragment — every
+    # canonicalization rule exercised on every row
+    from gemini_ocr_batch_spark.operators.webtext import canonicalize_urls
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select(
+        F.concat(
+            F.lit("https://SYNTH.Example.org/Doc/"),
+            F.col("doc_id").cast("string"),
+            F.lit(".html?utm_source=x&b=2&a=1&fbclid=abc#frag"),
+        ).alias("url")
+    )
+    return canonicalize_urls(pages)
+
+
 def _q_windowed_counts(spark, sf_dir):
     # batch twin of the streaming watermark+window aggregation (§2.10):
     # tumbling 1h event-time windows; withWatermark is a no-op in batch
@@ -854,7 +897,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": _q_token_count,
         "quality_score": _q_quality_score,
         "language_id": _q_language_id,
-        "fingerprint": _q_fingerprint,
+        # r4: fingerprint + embedding_norm (single-expression checks whose
+        # codepaths dedup_exact / the ANN queries already exercise) moved
+        # to local_parity(); the freed slots register the webtext
+        # corpus-prep operators redact_pii + repetition_score
+        "redact_pii": _q_redact_pii,
+        "repetition_score": _q_repetition_score,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "json_path_extract": _q_json_path_extract,
         "json_fence_rescue": _q_json_fence_rescue,
@@ -865,7 +913,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
         "ivf_cell_counts": _q_ivf_cell_counts,
-        "embedding_norm": _q_embedding_norm,
         "embedding_near_dup": _q_embedding_near_dup,
         "windowed_counts": _q_windowed_counts,
         "hash_sample": _q_hash_sample,
@@ -1230,6 +1277,95 @@ def _winnow_oracle_sql() -> str:
         """
 
 
+_SEEDED_PII_TEXT = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+    "'@example.com at 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'"
+)
+
+
+def _redact_pii_oracle_sql() -> str:
+    """DuckDB twin of webtext.redact_pii over the same seeded contact
+    line (patterns are the shared Java/RE2-identical literals)."""
+    from gemini_ocr_batch_spark.operators.webtext import EMAIL_RE, IPV4_RE
+
+    return f"""
+            WITH seeded AS (
+              SELECT doc_id, {_SEEDED_PII_TEXT} AS text FROM documents
+            ),
+            step1 AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(text, '{EMAIL_RE}'))
+                          AS INT) AS n_emails,
+                     regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g')
+                       AS after_email
+              FROM seeded
+            )
+            SELECT doc_id,
+                   regexp_replace(after_email, '{IPV4_RE}', '<IP>', 'g')
+                     AS text_redacted,
+                   n_emails,
+                   CAST(len(regexp_extract_all(after_email, '{IPV4_RE}'))
+                        AS INT) AS n_ipv4
+            FROM step1 ORDER BY doc_id
+        """
+
+
+def _repetition_score_oracle_sql() -> str:
+    """DuckDB twin of webtext.repetition_score (word 2-grams; integral
+    div at every boundary)."""
+    return f"""
+            WITH tok AS (
+              SELECT doc_id AS doc, {_TOKENS} AS toks FROM documents
+            ),
+            g AS (
+              SELECT doc, array_to_string(toks[i : i + 1], ' ') AS gram
+              FROM tok, generate_series(1, 1024) AS gs(i)
+              WHERE i <= len(toks) - 1
+            ),
+            pg AS (SELECT doc, gram, count(*) AS c FROM g GROUP BY doc, gram),
+            pd AS (
+              SELECT doc, max(c) AS top_c, CAST(sum(c) AS BIGINT) AS total
+              FROM pg GROUP BY doc
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE((pd.top_c * 10000) // pd.total, 0)
+                        AS BIGINT) AS rep_x10000,
+                   COALESCE(pd.total, 0) AS n_grams
+            FROM documents d LEFT JOIN pd ON pd.doc = d.doc_id
+            ORDER BY d.doc_id
+        """
+
+
+def _canonicalize_urls_oracle_sql() -> str:
+    from gemini_ocr_batch_spark.operators.webtext import TRACKING_PARAM_RE
+
+    scheme_host = r"'^([A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*)'"
+    path = r"'^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)'"
+    return f"""
+            WITH pages AS (
+              SELECT 'https://SYNTH.Example.org/Doc/' ||
+                     CAST(doc_id AS VARCHAR) ||
+                     '.html?utm_source=x&b=2&a=1&fbclid=abc#frag' AS url
+              FROM documents
+            ),
+            split AS (
+              SELECT url,
+                     list_sort(list_filter(
+                       string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+                       p -> p <> '' AND NOT regexp_matches(p, '{TRACKING_PARAM_RE}')
+                     )) AS kept
+              FROM pages
+            )
+            SELECT url,
+                   lower(regexp_extract(url, {scheme_host}, 1)) ||
+                   regexp_extract(url, {path}, 1) ||
+                   CASE WHEN len(kept) > 0
+                        THEN '?' || array_to_string(kept, '&')
+                        ELSE '' END AS url_canonical
+            FROM split ORDER BY url
+        """
+
+
 def _hash_sample_oracle_sql() -> str:
     from gemini_ocr_batch_spark.operators.sampling import bucket_sql_duckdb
 
@@ -1342,6 +1478,28 @@ def local_parity() -> dict[str, tuple]:
             """
             SELECT event_id, strftime(ts, '%Y-%m-%dT%H:%M:%S') AS ts_iso
             FROM events ORDER BY event_id
+            """,
+        ),
+        "canonicalize_urls": (
+            _q_canonicalize_urls,
+            _canonicalize_urls_oracle_sql(),
+        ),
+        "fingerprint": (
+            _q_fingerprint,
+            f"""
+            SELECT doc_id,
+                   md5(array_to_string({_TOKENS}, ' ')) AS fingerprint
+            FROM documents ORDER BY doc_id
+            """,
+        ),
+        "embedding_norm": (
+            _q_embedding_norm,
+            """
+            SELECT vec_id,
+                   CAST(floor(sqrt(list_aggregate(
+                     list_transform(CAST(embedding AS DOUBLE[]), x -> x * x),
+                     'sum')) * 10000 + 0.5) AS BIGINT) AS l2_norm
+            FROM embeddings ORDER BY vec_id
             """,
         ),
         "stream_dedup_twin": (
@@ -1626,11 +1784,8 @@ def oracle_sql() -> dict[str, str]:
                    h AS marker_hits
             FROM best WHERE rn = 1 ORDER BY doc_id
         """,
-        "fingerprint": f"""
-            SELECT doc_id,
-                   md5(array_to_string({_TOKENS}, ' ')) AS fingerprint
-            FROM documents ORDER BY doc_id
-        """,
+        "redact_pii": _redact_pii_oracle_sql(),
+        "repetition_score": _repetition_score_oracle_sql(),
         "json_path_extract": """
             SELECT event_id,
                    CAST(json_extract_string(props, '$.k') AS INT) AS k
@@ -1707,13 +1862,6 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (ORDER BY c DESC, vec_id) AS rank
               FROM scored
             ) WHERE rank <= 10 ORDER BY rank
-        """,
-        "embedding_norm": """
-            SELECT vec_id,
-                   CAST(floor(sqrt(list_aggregate(
-                     list_transform(CAST(embedding AS DOUBLE[]), x -> x * x),
-                     'sum')) * 10000 + 0.5) AS BIGINT) AS l2_norm
-            FROM embeddings ORDER BY vec_id
         """,
         "asset_metadata": """
             SELECT doc_id AS asset_id,

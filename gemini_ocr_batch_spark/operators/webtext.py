@@ -1,0 +1,137 @@
+"""Webtext corpus-preparation operators beyond dedup/quality: PII
+redaction, URL canonicalization, repetition scoring.
+
+Public heuristics these implement: C4's text cleaning (Raffel et al.,
+JMLR 2020), Gopher's repetition filters (Rae et al., 2021, §A1.1),
+RefinedWeb's URL normalization (Penedo et al., 2023). The reference repo
+has no analog — these are the corpus-prep ops a 100 TB crawl pipeline
+needs between extraction (kernels/) and dedup (operators/dedup.py).
+
+All pure JVM column expressions (regexp / array / higher-order
+functions): codegen'd, no Python in the hot path, zero shuffles —
+every operator is a projection on the scan's own splits. Regex patterns
+are restricted to syntax with identical semantics in Java regex and RE2
+so each operator has an exact DuckDB oracle twin (redact_pii and
+repetition_score are driver-registered; canonicalize_urls rides
+__spark_entry__.local_parity()).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gemini_ocr_batch_spark.functions.hashing import shingles, tokens
+
+# Deliberately simple patterns: no lookaround, no backrefs, no \b-adjacent
+# unicode classes — the subset where Java regex (Spark) and RE2 (DuckDB)
+# agree byte-for-byte.
+EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z][A-Za-z]+"
+IPV4_RE = r"([0-9]{1,3}\.){3}[0-9]{1,3}"
+
+EMAIL_TOKEN = "<EMAIL>"
+IP_TOKEN = "<IP>"
+
+# Query parameters that never change page content (RefinedWeb-style URL
+# normalization) — declared so the oracle carries the same literals.
+TRACKING_PARAM_RE = r"^(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)="
+
+
+def redact_pii(docs: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """(id, text_redacted, n_emails, n_ipv4): emails then IPv4 literals
+    replaced by sentinel tokens (order matters — a host part can contain
+    digit runs; the oracle replays the same order), with match counts
+    for a redaction audit table."""
+    t = F.col(text_col)
+    n_emails = F.regexp_count(t, F.lit(EMAIL_RE))
+    after_email = F.regexp_replace(t, EMAIL_RE, EMAIL_TOKEN)
+    n_ipv4 = F.regexp_count(after_email, F.lit(IPV4_RE))
+    redacted = F.regexp_replace(after_email, IPV4_RE, IP_TOKEN)
+    return docs.select(
+        F.col(id_col),
+        redacted.alias("text_redacted"),
+        n_emails.cast("int").alias("n_emails"),
+        n_ipv4.cast("int").alias("n_ipv4"),
+    ).orderBy(id_col)
+
+
+def canonical_url_col(url) -> F.Column:
+    """Canonical form of a URL column: scheme+host lowercased, fragment
+    dropped, tracking params removed, surviving params sorted.
+
+    Pure expression — usable inside any projection (dedup keys, source
+    rollups) without a join."""
+    u = F.col(url) if isinstance(url, str) else url
+    scheme_host = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*)", 1))
+    path = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)", 1)
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    kept = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+        )
+    )
+    return F.concat(
+        scheme_host,
+        path,
+        F.when(
+            F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))
+        ).otherwise(F.lit("")),
+    )
+
+
+def canonicalize_urls(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """(url, url_canonical) for a pages-shaped table."""
+    return pages.select(
+        F.col(url_col), canonical_url_col(url_col).alias("url_canonical")
+    ).orderBy(url_col)
+
+
+def repetition_score(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", n: int = 2) -> DataFrame:
+    """Gopher-style repetition: the fraction of all word n-grams occupied
+    by the single most frequent n-gram, as an exact x10000 bigint
+    (top_gram_count * 10000 / total_grams, floored — operands are bounded
+    by 10^4 x grams-per-doc, far inside float64's exact-integer range, so
+    floor(a/b) is exact and matches DuckDB's integral `//`).
+
+    ZERO-shuffle by construction: the per-document statistic is computed
+    entirely in-array — sort the gram array, then one higher-order fold
+    finds the longest equal-run (== the top gram's count, since the array
+    is sorted). The obvious explode -> groupBy(doc, gram) -> groupBy(doc)
+    alternative ships every n-gram of the corpus through two exchanges;
+    this plan ships nothing — a codegen'd projection on the scan's own
+    splits, embarrassingly parallel at any scale.
+    """
+    grams = F.array_sort(shingles(tokens(text_col), n))
+    top_run = F.aggregate(
+        grams,
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, g: F.struct(
+            g.alias("prev"),
+            F.when(g == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    total = F.size(grams)
+    return docs.select(
+        F.col(id_col),
+        F.when(
+            total > 0,
+            F.floor(top_run.cast("bigint") * 10000 / total).cast("bigint"),
+        )
+        .otherwise(F.lit(0).cast("bigint"))
+        .alias("rep_x10000"),
+        total.cast("bigint").alias("n_grams"),
+    ).orderBy(id_col)

@@ -1,0 +1,85 @@
+"""Unit tests for the webtext corpus-prep operators (hand-computed
+edge cases; the cross-engine oracle parity rides test_entry_parity)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gemini_ocr_batch_spark.operators.webtext import (
+    canonicalize_urls,
+    redact_pii,
+    repetition_score,
+)
+
+
+def test_redact_pii_counts_and_order(spark):
+    rows = [
+        (1, "mail a.b+c@ex-ample.org and 10.0.0.1 twice 10.0.0.1"),
+        (2, "no pii here"),
+        (3, "two mails x@y.io z@w.co one ip 192.168.1.255"),
+        # the version digits inside an email's host must NOT later be
+        # IP-redacted: email redaction runs first and swallows them
+        (4, "ping admin@10.0.0.1.example.com"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert got[1]["text_redacted"] == "mail <EMAIL> and <IP> twice <IP>"
+    assert (got[1]["n_emails"], got[1]["n_ipv4"]) == (1, 2)
+    assert got[2]["text_redacted"] == "no pii here"
+    assert (got[2]["n_emails"], got[2]["n_ipv4"]) == (0, 0)
+    assert (got[3]["n_emails"], got[3]["n_ipv4"]) == (2, 1)
+    assert got[4]["text_redacted"] == "ping <EMAIL>"
+    assert (got[4]["n_emails"], got[4]["n_ipv4"]) == (1, 0)
+
+
+def test_canonicalize_urls_rules(spark):
+    rows = [
+        (1, "https://WWW.Ex.COM/Path/Page?b=2&utm_source=x&a=1#sec"),
+        (2, "https://ex.com/p?utm_campaign=c&fbclid=z"),  # only tracking
+        (3, "http://EX.com:8080/"),                       # port kept, no query
+        (4, "https://ex.com/p?ref=home&q=term"),
+        (5, "https://ex.com"),                            # no path at all
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {
+        r["url"]: r["url_canonical"]
+        for r in canonicalize_urls(df.select("url")).collect()
+    }
+    assert got[rows[0][1]] == "https://www.ex.com/Path/Page?a=1&b=2"
+    assert got[rows[1][1]] == "https://ex.com/p"  # dangling '?' dropped
+    assert got[rows[2][1]] == "http://ex.com:8080/"
+    assert got[rows[3][1]] == "https://ex.com/p?q=term"
+    assert got[rows[4][1]] == "https://ex.com"
+
+
+def test_repetition_score_hand_computed(spark):
+    rows = [
+        (1, "a b a b a"),       # 2-grams: ab,ba,ab,ba → top 2 / 4 = 5000
+        (2, "w x y z"),         # all distinct → 1/3 → 3333
+        (3, "solo"),            # no 2-gram
+        (4, "spam spam spam spam"),  # one gram repeated 3× → 10000
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["rep_x10000"], r["n_grams"])
+        for r in repetition_score(df).collect()
+    }
+    assert got[1] == (5000, 4)
+    assert got[2] == (3333, 3)
+    assert got[3] == (0, 0)
+    assert got[4] == (10000, 3)
+
+
+def test_repetition_score_stays_jvm_side_and_shuffle_free(spark, sf_dir):
+    """No Python evaluation in the plan, and the in-array fold keeps the
+    kernel shuffle-free: the ONLY exchange is the presentation orderBy
+    (range partitioning), never a hash exchange of exploded grams."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = (
+        repetition_score(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Exchange") == 1 and "rangepartitioning" in plan
