@@ -1409,6 +1409,79 @@ def _extraction_resume_oracle_sql() -> str:
         """
 
 
+def _q_curation_flags(spark, sf_dir):
+    # corpus with synthesized exact duplicates (doc_id%7 texts replicated
+    # under shifted ids — replayable in SQL) so the canonical-selection
+    # axis of the curation decision is non-trivial
+    from gemini_ocr_batch_spark.operators.webtext import curation_flags
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return curation_flags(docs.union(dups))
+
+
+def _curation_flags_oracle_sql(min_q: int = 3000, max_rep: int = 5000) -> str:
+    """DuckDB twin of webtext.curation_flags over the same dup-seeded
+    corpus: quality blend and repetition formula expanded inline (same
+    float op order as the quality_score / repetition_score oracles),
+    canonical = min id per md5 fingerprint."""
+    quality = f"""CAST(floor((
+                 least(len({_TOKENS}) / 200.0, 1.0) * 0.4
+                 + least(len(list_filter({_TOKENS},
+                       x -> list_contains({_STOPWORDS_SQL}, x))) * 1.0
+                     / greatest(len({_TOKENS}), 1) * 5.0, 1.0) * 0.3
+                 + (1.0 - least((length(text) - length(regexp_replace(text,
+                       '[\\.,;:!\\?]', '', 'g'))) * 1.0
+                     / greatest(length(text), 1) * 10.0, 1.0)) * 0.2
+                 + (1.0 - least((length(text) - length(regexp_replace(text,
+                       '[A-Z]', '', 'g'))) * 1.0
+                     / greatest(length(text), 1) * 5.0, 1.0)) * 0.1
+               ) * 10000 + 0.5) AS BIGINT)"""
+    return f"""
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000, text FROM documents
+              WHERE doc_id % 7 = 0
+            ),
+            tok AS (
+              SELECT doc_id, text, {_TOKENS} AS toks FROM corpus
+            ),
+            g AS (
+              SELECT doc_id, array_to_string(toks[i : i + 1], ' ') AS gram
+              FROM tok, generate_series(1, 1024) AS gs(i)
+              WHERE i <= len(toks) - 1
+            ),
+            pg AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+            pd AS (
+              SELECT doc_id, max(c) AS top_c,
+                     CAST(sum(c) AS BIGINT) AS total
+              FROM pg GROUP BY doc_id
+            ),
+            feat AS (
+              SELECT t.doc_id,
+                     md5(array_to_string(t.toks, ' ')) AS fingerprint,
+                     {quality} AS q,
+                     CAST(COALESCE((pd.top_c * 10000) // pd.total, 0)
+                          AS BIGINT) AS rep
+              FROM tok t LEFT JOIN pd USING (doc_id)
+            ),
+            flagged AS (
+              SELECT doc_id,
+                     doc_id = min(doc_id) OVER (PARTITION BY fingerprint)
+                       AS is_canonical,
+                     q >= {min_q} AS quality_ok,
+                     rep <= {max_rep} AS repetition_ok
+              FROM feat
+            )
+            SELECT doc_id, is_canonical, quality_ok, repetition_ok,
+                   (is_canonical AND quality_ok AND repetition_ok) AS keep
+            FROM flagged ORDER BY doc_id
+        """
+
+
 def _q_stream_dedup_twin(spark, sf_dir):
     # Batch-equivalence for the streaming exact dedup (VERDICT r3 item 7):
     # documents + a replicated doc_id%5 subset are streamed through
@@ -1483,6 +1556,10 @@ def local_parity() -> dict[str, tuple]:
         "canonicalize_urls": (
             _q_canonicalize_urls,
             _canonicalize_urls_oracle_sql(),
+        ),
+        "curation_flags": (
+            _q_curation_flags,
+            _curation_flags_oracle_sql(),
         ),
         "fingerprint": (
             _q_fingerprint,

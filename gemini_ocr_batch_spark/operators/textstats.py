@@ -44,6 +44,31 @@ def token_count(docs: DataFrame, id_col: str = "doc_id",
     ).orderBy(id_col)
 
 
+def quality_x10000_col(text_col: str = "text") -> F.Column:
+    """The composite quality score as a fixed-point x10000 bigint column
+    — the single source of the formula, shared by :func:`quality_score`
+    and ``webtext.curation_flags`` so the blend cannot drift between the
+    scoring and filtering surfaces."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    toks = tokens(text_col)
+    n_tokens = F.size(toks)
+    n_punct = n_chars - F.length(F.regexp_replace(t, r"[\.,;:!\?]", ""))
+    n_upper = n_chars - F.length(F.regexp_replace(t, r"[A-Z]", ""))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS_EN])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+    punct_ratio = n_punct / F.greatest(n_chars, F.lit(1))
+    stop_ratio = n_stop / F.greatest(n_tokens, F.lit(1))
+    upper_ratio = n_upper / F.greatest(n_chars, F.lit(1))
+    score = (
+        F.least(n_tokens / F.lit(200.0), F.lit(1.0)) * 0.4
+        + F.least(stop_ratio * F.lit(5.0), F.lit(1.0)) * 0.3
+        + (F.lit(1.0) - F.least(punct_ratio * F.lit(10.0), F.lit(1.0))) * 0.2
+        + (F.lit(1.0) - F.least(upper_ratio * F.lit(5.0), F.lit(1.0))) * 0.1
+    )
+    return F.floor(score * 10000 + F.lit(0.5)).cast("bigint")
+
+
 def quality_score(docs: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text") -> DataFrame:
     """Shallow quality features + a composite score in [0,1].
@@ -57,19 +82,11 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id",
     toks = tokens(text_col)
     n_tokens = F.size(toks)
     n_punct = n_chars - F.length(F.regexp_replace(t, r"[\.,;:!\?]", ""))
-    n_upper = n_chars - F.length(F.regexp_replace(t, r"[A-Z]", ""))
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS_EN])
     n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
     punct_ratio = n_punct / F.greatest(n_chars, F.lit(1))
     stop_ratio = n_stop / F.greatest(n_tokens, F.lit(1))
-    upper_ratio = n_upper / F.greatest(n_chars, F.lit(1))
     mean_word_len = n_chars / F.greatest(n_tokens, F.lit(1))
-    score = (
-        F.least(n_tokens / F.lit(200.0), F.lit(1.0)) * 0.4
-        + F.least(stop_ratio * F.lit(5.0), F.lit(1.0)) * 0.3
-        + (F.lit(1.0) - F.least(punct_ratio * F.lit(10.0), F.lit(1.0))) * 0.2
-        + (F.lit(1.0) - F.least(upper_ratio * F.lit(5.0), F.lit(1.0))) * 0.1
-    )
     # fixed-point 1e-4 (bigint) instead of round(): floor(x*1e4+0.5) is
     # bit-deterministic given bit-equal doubles, while round() half-way
     # behavior differs between engines (breaks oracle value hashes).
@@ -80,7 +97,7 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id",
         bp(mean_word_len).alias("mean_word_len"),
         bp(punct_ratio).alias("punct_ratio"),
         bp(stop_ratio).alias("stopword_ratio"),
-        bp(score).alias("quality"),
+        quality_x10000_col(text_col).alias("quality"),
     ).orderBy(id_col)
 
 

@@ -104,6 +104,18 @@ def repetition_score(docs: DataFrame, id_col: str = "doc_id",
     this plan ships nothing — a codegen'd projection on the scan's own
     splits, embarrassingly parallel at any scale.
     """
+    rep, total = repetition_x10000_cols(text_col, n)
+    return docs.select(
+        F.col(id_col),
+        rep.alias("rep_x10000"),
+        total.alias("n_grams"),
+    ).orderBy(id_col)
+
+
+def repetition_x10000_cols(text_col: str = "text", n: int = 2):
+    """(rep_x10000, n_grams) as reusable columns — the single source of
+    the repetition formula, shared by :func:`repetition_score` and
+    :func:`curation_flags`."""
     grams = F.array_sort(shingles(tokens(text_col), n))
     top_run = F.aggregate(
         grams,
@@ -125,13 +137,63 @@ def repetition_score(docs: DataFrame, id_col: str = "doc_id",
         lambda acc: acc["best"],
     )
     total = F.size(grams)
-    return docs.select(
-        F.col(id_col),
+    rep = (
         F.when(
             total > 0,
             F.floor(top_run.cast("bigint") * 10000 / total).cast("bigint"),
         )
         .otherwise(F.lit(0).cast("bigint"))
-        .alias("rep_x10000"),
-        total.cast("bigint").alias("n_grams"),
+    )
+    return rep, total.cast("bigint")
+
+
+def curation_flags(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality_x10000: int = 3000,
+    max_rep_x10000: int = 5000,
+) -> DataFrame:
+    """The pre-training curation decision, composed end to end: exact-dup
+    canonical selection + quality floor + repetition ceiling, one row per
+    document with per-rule flags and the final ``keep``.
+
+    Thresholds compare FIXED-POINT bigints (the same x10000 values the
+    scoring operators emit), so the keep decision is bit-identical across
+    engines — no float-at-the-boundary flakiness.
+
+    Shuffle shape at scale: the quality/repetition columns are in-array
+    projections; the only exchange is the window over ``fingerprint`` for
+    canonical selection, and only (id, fingerprint, two bigints) rows
+    cross it — never the text.
+    """
+    from pyspark.sql import Window
+
+    from gemini_ocr_batch_spark.operators.textstats import quality_x10000_col
+
+    rep, _ = repetition_x10000_cols(text_col)
+    slim = docs.select(
+        F.col(id_col),
+        F.md5(F.array_join(tokens(text_col), " ")).alias("fingerprint"),
+        quality_x10000_col(text_col).alias("quality_x10000"),
+        rep.alias("rep_x10000"),
+    )
+    w = Window.partitionBy("fingerprint")
+    flagged = slim.select(
+        id_col,
+        "fingerprint",
+        (F.col(id_col) == F.min(id_col).over(w)).alias("is_canonical"),
+        (F.col("quality_x10000") >= min_quality_x10000).alias("quality_ok"),
+        (F.col("rep_x10000") <= max_rep_x10000).alias("repetition_ok"),
+    )
+    return flagged.select(
+        id_col,
+        "is_canonical",
+        "quality_ok",
+        "repetition_ok",
+        (
+            F.col("is_canonical")
+            & F.col("quality_ok")
+            & F.col("repetition_ok")
+        ).alias("keep"),
     ).orderBy(id_col)

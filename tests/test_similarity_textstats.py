@@ -248,3 +248,36 @@ def test_ivf_assignment_is_total_and_deterministic(spark, sf_dir):
     assert a1.count() == n  # every vector lands in exactly one cell
     assert a1.select("centroid_id").distinct().count() <= 4
     assert a1.exceptAll(a2).count() == 0
+
+
+def test_ivf_index_probe_is_partition_pruned(spark, sf_dir, tmp_path):
+    """The IVF scale claim, pinned: an index stored
+    ``partitionBy("centroid_id")`` turns a probe's ``centroid_id IN``
+    filter into metadata-level partition pruning — the scan must carry
+    the predicate as a PartitionFilter and read only the probed cell
+    directories, never the whole index."""
+    from gemini_ocr_batch_spark.operators.similarity import (
+        ivf_assign,
+        ivf_topk,
+    )
+    import __spark_entry__ as em
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx_path = str(tmp_path / "ivf_index")
+    ivf_assign(emb, em._IVF_CENTROIDS).write.partitionBy(
+        "centroid_id"
+    ).parquet(idx_path)
+
+    index = spark.read.parquet(idx_path)
+    out = ivf_topk(index, em._IVF_CENTROIDS, em._ANN_QUERY_VEC, k=10,
+                   n_probe=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "centroid_id" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0], plan
+    # and the probed result matches the unpartitioned in-memory path
+    in_mem = ivf_topk(ivf_assign(emb, em._IVF_CENTROIDS), em._IVF_CENTROIDS,
+                      em._ANN_QUERY_VEC, k=10, n_probe=2)
+    assert [r["id"] for r in out.collect()] == [
+        r["id"] for r in in_mem.collect()
+    ]

@@ -83,3 +83,54 @@ def test_repetition_score_stays_jvm_side_and_shuffle_free(spark, sf_dir):
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert plan.count("Exchange") == 1 and "rangepartitioning" in plan
+
+
+def test_curation_flags_composed_rules(spark):
+    from gemini_ocr_batch_spark.operators.webtext import curation_flags
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and then it runs "
+        "far away into the woods with a friend of the family for fun"
+    )
+    rows = [
+        (1, good),                    # canonical, decent quality, varied
+        (2, good),                    # exact dup of 1 -> not canonical
+        (5, "spam " * 40),            # maximally repetitive
+        (7, "x"),                     # too short: quality floor fails
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # threshold 4000: "x" scores 3020 (the punct/upper terms alone grant
+    # 3000), the varied sentence 6520, the spam flood 3800
+    got = {
+        r["doc_id"]: r
+        for r in curation_flags(df, min_quality_x10000=4000).collect()
+    }
+    assert got[1]["is_canonical"] and got[1]["keep"]
+    assert not got[2]["is_canonical"] and not got[2]["keep"]
+    assert got[2]["quality_ok"] == got[1]["quality_ok"]  # same text
+    assert not got[5]["repetition_ok"] and not got[5]["keep"]
+    assert not got[7]["quality_ok"] and not got[7]["keep"]
+
+
+def test_curation_flags_window_never_ships_text(spark, sf_dir):
+    """The fingerprint-window exchange must carry only (id, fingerprint,
+    two bigints) — the text column stays below the exchange."""
+    from gemini_ocr_batch_spark.operators.webtext import curation_flags
+
+    from gemini_ocr_batch_spark.plans.checks import formatted_plan
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fp = formatted_plan(curation_flags(docs))
+    # formatted mode gives each operator an explicit Input list: the
+    # fingerprint hash exchange's Input must not carry the text column
+    exchange_sections = [
+        s
+        for s in fp.split("\n\n")
+        if s.lstrip().startswith("(")
+        and ") Exchange" in s.splitlines()[0]
+        and "hashpartitioning(fingerprint" in s
+    ]
+    assert exchange_sections, fp
+    for s in exchange_sections:
+        input_line = next(l for l in s.splitlines() if l.startswith("Input"))
+        assert "text#" not in input_line, s
