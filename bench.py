@@ -121,8 +121,13 @@ def main() -> int:
         "token_count",
         "quality_score",
         "language_id",
+        "redact_pii",
+        "repetition_score",
         "ann_bruteforce",
     ]
+    # NOTE vs BENCH_r03: redact_pii + repetition_score are NEW lines (r4
+    # webtext operators) — the headline total gained their cost; compare
+    # per-query lines round-over-round, not the raw total.
     # Warm each query's plan once at sf0.001 (untimed): Janino codegen +
     # HotSpot JIT of the generated stages is a one-time constant
     # (~10-18 s for the minhash DAG, measured, input-size-independent —
