@@ -11,6 +11,10 @@ Verbs:
              config file; .env is loaded with setdefault semantics —
              reference: src/config.py:161-170, src/env.py:24-41)
   gen       --out <pages.parquet> --rows N [--seed S]   (synthetic input)
+  curate    --extracted <run out dir> --out <dir>
+            [--min-quality Q] [--max-rep R]
+            (corpus-prep pass: exact-dup canonical + quality floor +
+             repetition ceiling; writes flags/ + corpus/, prints counts)
   status    --out <dir>          (checkpoint counts + lineage rollup)
 """
 
@@ -39,6 +43,20 @@ def main(argv: list[str] | None = None) -> int:
     gen_p.add_argument("--out", required=True)
     gen_p.add_argument("--rows", type=int, default=1000)
     gen_p.add_argument("--seed", type=int, default=42)
+
+    cur_p = sub.add_parser(
+        "curate",
+        help="corpus-prep pass over a finished run: dedup/quality/"
+             "repetition flags + the kept corpus",
+    )
+    cur_p.add_argument("--extracted", required=True,
+                       help="a `run` --out dir (reads extracted_all)")
+    cur_p.add_argument("--out", required=True)
+    cur_p.add_argument("--min-quality", type=int, default=3000,
+                       help="quality floor, x10000 fixed-point")
+    cur_p.add_argument("--max-rep", type=int, default=5000,
+                       help="top-2-gram repetition ceiling, x10000")
+    cur_p.add_argument("--master", default=None)
 
     st_p = sub.add_parser("status", help="checkpoint + lineage summary")
     st_p.add_argument("--config", default=None,
@@ -145,6 +163,20 @@ def main(argv: list[str] | None = None) -> int:
                 }
             )
         )
+        return 0
+
+    if args.verb == "curate":
+        from gemini_ocr_batch_spark.operators.webtext import run_curation_job
+
+        spark = get_spark(master=args.master)
+        stats = run_curation_job(
+            spark,
+            args.extracted,
+            args.out,
+            min_quality_x10000=args.min_quality,
+            max_rep_x10000=args.max_rep,
+        )
+        print(json.dumps(stats))
         return 0
 
     if args.verb == "status":

@@ -153,6 +153,7 @@ def curation_flags(
     text_col: str = "text",
     min_quality_x10000: int = 3000,
     max_rep_x10000: int = 5000,
+    ordered: bool = True,
 ) -> DataFrame:
     """The pre-training curation decision, composed end to end: exact-dup
     canonical selection + quality floor + repetition ceiling, one row per
@@ -186,7 +187,7 @@ def curation_flags(
         (F.col("quality_x10000") >= min_quality_x10000).alias("quality_ok"),
         (F.col("rep_x10000") <= max_rep_x10000).alias("repetition_ok"),
     )
-    return flagged.select(
+    out = flagged.select(
         id_col,
         "is_canonical",
         "quality_ok",
@@ -196,4 +197,64 @@ def curation_flags(
             & F.col("quality_ok")
             & F.col("repetition_ok")
         ).alias("keep"),
-    ).orderBy(id_col)
+    )
+    # presentation order for the oracle harness; bulk writers pass
+    # ordered=False and skip the global range exchange
+    return out.orderBy(id_col) if ordered else out
+
+
+def run_curation_job(
+    spark,
+    extracted_dir: str,
+    out_dir: str,
+    min_quality_x10000: int = 3000,
+    max_rep_x10000: int = 5000,
+) -> dict:
+    """The corpus-prep job over a finished extraction run: flag every
+    success row (curation_flags keyed by url over extracted_text), write
+    the flags table and the kept corpus, return audit counts.
+
+    Scale notes: the flags computation shuffles only
+    (url, fingerprint, 2 bigints); the ONE movement of text is the
+    left-semi join that materializes the kept corpus — unavoidable for a
+    rewrite keyed on a content-derived decision, and it carries each
+    kept row exactly once. Flags are written before the corpus join and
+    re-read, so the quality/repetition expressions are not recomputed on
+    the join's probe side.
+    """
+    import os
+
+    from gemini_ocr_batch_spark.job import read_extracted
+
+    rows = read_extracted(spark, extracted_dir)
+    flags_path = os.path.join(out_dir, "flags")
+    corpus_path = os.path.join(out_dir, "corpus")
+    curation_flags(
+        rows,
+        id_col="url",
+        text_col="extracted_text",
+        min_quality_x10000=min_quality_x10000,
+        max_rep_x10000=max_rep_x10000,
+        ordered=False,
+    ).write.mode("overwrite").parquet(flags_path)
+    flags = spark.read.parquet(flags_path)
+    kept_keys = flags.filter(F.col("keep")).select("url")
+    rows.join(kept_keys, "url", "semi").write.mode("overwrite").parquet(
+        corpus_path
+    )
+    stats_row = flags.agg(
+        F.count("*").alias("input_rows"),
+        F.sum(F.col("keep").cast("long")).alias("kept"),
+        F.sum((~F.col("is_canonical")).cast("long")).alias("dup_rows"),
+        F.sum((~F.col("quality_ok")).cast("long")).alias("low_quality"),
+        F.sum((~F.col("repetition_ok")).cast("long")).alias("repetitive"),
+    ).collect()[0]
+    return {
+        "input_rows": stats_row["input_rows"],
+        "kept": stats_row["kept"] or 0,
+        "dropped_duplicate": stats_row["dup_rows"] or 0,
+        "dropped_low_quality": stats_row["low_quality"] or 0,
+        "dropped_repetitive": stats_row["repetitive"] or 0,
+        "flags_path": flags_path,
+        "corpus_path": corpus_path,
+    }

@@ -205,3 +205,37 @@ def test_near_dedup_keep_list(spark, sf_dir):
     for c, members in by_comp.items():
         kept = [r["doc_id"] for r in members if r["keep"]]
         assert kept == [min(r["doc_id"] for r in members)] == [c]
+
+
+def test_shingles_linear_in_document_length(spark):
+    """r4 scale bug, pinned: the old shingles construction —
+    transform(sequence(1, len), i -> slice(tokens, i, n)) — captured the
+    token-split expression inside the lambda, and Spark re-evaluates a
+    captured outer expression PER ELEMENT: O(len²) per document
+    (measured 28 s for a single 16k-token page; it froze the curate verb
+    on real extracted pages). The zip_with construction evaluates its
+    array operands once. Scaling pin: 4× tokens must cost well under the
+    ~16× a quadratic would show."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from gemini_ocr_batch_spark.functions.hashing import shingles, tokens
+
+    def timed(ntok):
+        text = " ".join(f"w{i % 97}" for i in range(ntok))
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            n = df.select(
+                F.size(shingles(tokens("text"), 3)).alias("n")
+            ).collect()[0]["n"]
+            best = min(best, time.perf_counter() - t0)
+        assert n == ntok - 2
+        return best
+
+    timed(2000)  # warm-up
+    t1 = timed(8000)
+    t2 = timed(32000)
+    assert t2 <= 8 * t1 + 0.25, f"superlinear shingles: {t1:.3f}s -> {t2:.3f}s"

@@ -134,3 +134,49 @@ def test_curation_flags_window_never_ships_text(spark, sf_dir):
     for s in exchange_sections:
         input_line = next(l for l in s.splitlines() if l.startswith("Input"))
         assert "text#" not in input_line, s
+
+
+def test_curate_job_end_to_end(spark, tmp_path):
+    """gen-shaped pages → extraction run → curation job: every success
+    row gets a flag, identical extracted texts collapse to one canonical
+    kept row, and the written corpus is exactly the keep set."""
+    import datetime as dt
+
+    from gemini_ocr_batch_spark.job import read_extracted, run_extraction_job
+    from gemini_ocr_batch_spark.operators.webtext import run_curation_job
+    from gemini_ocr_batch_spark.schemas import PAGES_SCHEMA
+
+    ts = dt.datetime(2024, 1, 1)
+    body = (
+        b"<html><body><p>alpha beta gamma delta epsilon zeta eta theta</p>"
+        b"<p>one two three four five six seven eight nine ten</p></body></html>"
+    )
+    uniq = (
+        b"<html><body><p>a completely different page about rivers and "
+        b"mountains with many unique words in it today</p></body></html>"
+    )
+    rows = [(f"https://dup.example/{i}", ts, body, None, "en")
+            for i in range(8)]
+    rows.append(("https://uniq.example/0", ts, uniq, None, "en"))
+    pages = spark.createDataFrame(rows, PAGES_SCHEMA)
+
+    out = str(tmp_path / "run_out")
+    run_extraction_job(spark, pages, out, max_retries=1)
+    n_success = read_extracted(spark, out).count()
+    assert n_success == 9
+
+    cur = str(tmp_path / "curated")
+    stats = run_curation_job(spark, out, cur)
+    assert stats["input_rows"] == 9
+    # 8 identical extracted texts -> 1 canonical + the unique page
+    assert stats["dropped_duplicate"] == 7
+    assert stats["kept"] == 2
+    corpus = spark.read.parquet(stats["corpus_path"])
+    kept_urls = {r["url"] for r in corpus.select("url").collect()}
+    flags = spark.read.parquet(stats["flags_path"])
+    assert kept_urls == {
+        r["url"] for r in flags.filter("keep").collect()
+    }
+    assert "https://uniq.example/0" in kept_urls
+    # canonical representative is the min url of the dup cluster
+    assert "https://dup.example/0" in kept_urls
