@@ -1482,6 +1482,68 @@ def _curation_flags_oracle_sql(min_q: int = 3000, max_rep: int = 5000) -> str:
         """
 
 
+def _q_line_dedup(spark, sf_dir):
+    # corpus-level line dedup over a synthesized multi-line corpus: each
+    # doc = its (unique) text + two boilerplate lines shared across ALL
+    # docs + one per-doc unique line — the shared lines must survive only
+    # in the min-doc_id document
+    from gemini_ocr_batch_spark.operators.webtext import line_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.lit("subscribe to our newsletter"),
+            F.concat(
+                F.lit("unique line of doc "), F.col("doc_id").cast("string")
+            ),
+            F.lit("all rights reserved"),
+        ).alias("text"),
+    )
+    return line_dedup(staged)
+
+
+_LINE_DEDUP_ORACLE = """
+            WITH staged AS (
+              SELECT doc_id,
+                     text || chr(10) || 'subscribe to our newsletter' ||
+                     chr(10) || 'unique line of doc ' ||
+                     CAST(doc_id AS VARCHAR) || chr(10) ||
+                     'all rights reserved' AS text
+              FROM documents
+            ),
+            arr AS (
+              SELECT doc_id, string_split(text, chr(10)) AS ls FROM staged
+            ),
+            lines AS (
+              SELECT doc_id, i - 1 AS line_no, ls[i] AS line
+              FROM arr, generate_series(1, 64) AS g(i)
+              WHERE i <= len(ls)
+            ),
+            ranked AS (
+              SELECT doc_id, line_no, line,
+                     row_number() OVER (PARTITION BY md5(line)
+                                        ORDER BY doc_id, line_no) AS rn
+              FROM lines
+            ),
+            rebuilt AS (
+              SELECT doc_id,
+                     string_agg(line, chr(10) ORDER BY line_no)
+                       AS text_deduped,
+                     CAST(count(*) AS INT) AS n_kept
+              FROM ranked WHERE rn = 1 GROUP BY doc_id
+            )
+            SELECT a.doc_id,
+                   COALESCE(r.text_deduped, '') AS text_deduped,
+                   CAST(len(a.ls) AS INT) AS n_lines,
+                   COALESCE(r.n_kept, 0) AS n_kept
+            FROM arr a LEFT JOIN rebuilt r USING (doc_id)
+            ORDER BY a.doc_id
+        """
+
+
 def _q_stream_dedup_twin(spark, sf_dir):
     # Batch-equivalence for the streaming exact dedup (VERDICT r3 item 7):
     # documents + a replicated doc_id%5 subset are streamed through
@@ -1560,6 +1622,10 @@ def local_parity() -> dict[str, tuple]:
         "curation_flags": (
             _q_curation_flags,
             _curation_flags_oracle_sql(),
+        ),
+        "line_dedup": (
+            _q_line_dedup,
+            _LINE_DEDUP_ORACLE,
         ),
         "fingerprint": (
             _q_fingerprint,

@@ -203,6 +203,68 @@ def curation_flags(
     return out.orderBy(id_col) if ordered else out
 
 
+def line_dedup(docs: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Corpus-level line dedup (the C4 §2.2 / RefinedWeb rule): every
+    distinct line keeps only its FIRST occurrence — (min doc, min
+    line_no) — and documents are reassembled from their surviving lines
+    in order. This is what strips cross-site boilerplate ("subscribe to
+    our newsletter") that per-document dedup can never see.
+
+    Returns (id, text_deduped, n_lines, n_kept); a document whose every
+    line occurs earlier elsewhere keeps an empty string.
+
+    Shuffle shape at scale: the winner election groups by the 32-byte
+    line digest with a map-side-combinable min((doc, line_no)) — line
+    TEXT does not cross that exchange; the one movement of text is the
+    digest-keyed join that reassembles kept lines, each line exactly
+    once. Exact-match semantics (md5 of the raw line) — normalize
+    upstream if fuzzy matching is wanted.
+    """
+    lines = docs.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("line_no", "line"),
+    )
+    hashed = lines.select(
+        "doc", "line_no", "line", F.md5("line").alias("h")
+    )
+    wins = hashed.select("doc", "line_no", "h").groupBy("h").agg(
+        F.min(F.struct("doc", "line_no")).alias("w")
+    )
+    kept = (
+        hashed.join(wins, "h")
+        .filter(
+            (F.col("doc") == F.col("w.doc"))
+            & (F.col("line_no") == F.col("w.line_no"))
+        )
+        .select("doc", "line_no", "line")
+    )
+    rebuilt = kept.groupBy("doc").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("line_no", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("text_deduped"),
+        F.count("*").cast("int").alias("n_kept"),
+    )
+    totals = docs.select(
+        F.col(id_col).alias("doc"),
+        F.size(F.split(F.col(text_col), "\n")).alias("n_lines"),
+    )
+    return (
+        totals.join(rebuilt, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            F.coalesce("text_deduped", F.lit("")).alias("text_deduped"),
+            "n_lines",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
+        .orderBy(id_col)
+    )
+
+
 def run_curation_job(
     spark,
     extracted_dir: str,

@@ -180,3 +180,47 @@ def test_curate_job_end_to_end(spark, tmp_path):
     assert "https://uniq.example/0" in kept_urls
     # canonical representative is the min url of the dup cluster
     assert "https://dup.example/0" in kept_urls
+
+
+def test_line_dedup_first_occurrence_wins(spark):
+    from gemini_ocr_batch_spark.operators.webtext import line_dedup
+
+    rows = [
+        (1, "alpha\nshared boiler\nbeta"),
+        (2, "shared boiler\ngamma\nshared boiler"),  # within-doc dup too
+        (3, "shared boiler"),                        # loses its only line
+        (4, "delta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in line_dedup(df).collect()}
+    assert got[1]["text_deduped"] == "alpha\nshared boiler\nbeta"
+    assert (got[1]["n_lines"], got[1]["n_kept"]) == (3, 3)
+    # doc 2: both copies of the shared line lose to doc 1's
+    assert got[2]["text_deduped"] == "gamma"
+    assert (got[2]["n_lines"], got[2]["n_kept"]) == (3, 1)
+    assert got[3]["text_deduped"] == ""
+    assert (got[3]["n_lines"], got[3]["n_kept"]) == (1, 0)
+    assert got[4]["text_deduped"] == "delta"
+
+
+def test_line_dedup_winner_shuffle_is_text_free(spark, sf_dir):
+    """The winner-election exchange (groupBy line digest, min struct)
+    must not carry line text — only (h, doc, line_no) cross it."""
+    from gemini_ocr_batch_spark.operators.webtext import line_dedup
+    from gemini_ocr_batch_spark.plans.checks import formatted_plan
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fp = formatted_plan(line_dedup(docs))
+    agg_exchanges = [
+        s
+        for s in fp.split("\n\n")
+        if s.lstrip().startswith("(")
+        and ") Exchange" in s.splitlines()[0]
+        and "hashpartitioning(h#" in s
+    ]
+    assert agg_exchanges, fp
+    # the FIRST h-exchange is the winner election (partial agg below it):
+    # its Input is (h, min struct) — no line column
+    first = agg_exchanges[0]
+    input_line = next(l for l in first.splitlines() if l.startswith("Input"))
+    assert "line#" not in input_line, first
