@@ -17,8 +17,57 @@ from __future__ import annotations
 import re
 import zlib
 
-_STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.DOTALL)
-_BT_ET_RE = re.compile(rb"BT(.*?)ET", re.DOTALL)
+# Adversarial-input bounds (a crawl kernel parses attacker bytes):
+# - stream/BT bodies are located with LINEAR find() scans, not lazy
+#   regexes — `stream\r?\n(.*?)\r?\nendstream` rescans to EOF at every
+#   `stream\n` occurrence when no terminator exists, O(n²) on floods
+#   (the same class as the r3 HTML-tokenizer fix).
+# - FlateDecode output is capped per stream: a kB-sized zlib bomb can
+#   otherwise expand without bound.
+MAX_STREAM_DECOMPRESSED = 8 * 1024 * 1024  # 8 MiB per content stream
+
+
+def _iter_stream_bodies(pdf_bytes: bytes):
+    """Yield raw stream bodies — the linear-scan twin of the old
+    ``stream\\r?\\n(.*?)\\r?\\nendstream`` lazy regex (same bodies, same
+    skip rules: `stream` must be followed by a newline, the body ends at
+    the first newline-preceded `endstream`, matches never overlap)."""
+    i, n = 0, len(pdf_bytes)
+    while True:
+        s = pdf_bytes.find(b"stream", i)
+        if s < 0:
+            return
+        j = s + 6
+        if pdf_bytes[j : j + 2] == b"\r\n":
+            j += 2
+        elif pdf_bytes[j : j + 1] == b"\n":
+            j += 1
+        else:  # keyword not followed by newline — not a stream start
+            i = s + 1
+            continue
+        e = pdf_bytes.find(b"\nendstream", j - 1)
+        if e < 0:
+            return
+        raw = pdf_bytes[j:e]
+        if raw.endswith(b"\r"):  # the regex's optional \r before \n
+            raw = raw[:-1]
+        yield raw
+        i = e + len(b"\nendstream")
+
+
+def _iter_bt_bodies(content: bytes):
+    """Yield BT..ET text-object bodies — linear-scan twin of the old
+    lazy ``BT(.*?)ET`` regex (first ET wins, resume after it)."""
+    i = 0
+    while True:
+        s = content.find(b"BT", i)
+        if s < 0:
+            return
+        e = content.find(b"ET", s + 2)
+        if e < 0:
+            return
+        yield content[s + 2 : e]
+        i = e + 2
 
 # Tokenize a content stream: strings, arrays, numbers, operators.
 _TOKEN_RE = re.compile(
@@ -73,8 +122,7 @@ def _unescape_pdf_string(raw: bytes) -> str:
 
 def _iter_text_items(content: bytes):
     """Yield (x, y, text) for every shown string in the content stream."""
-    for bt_match in _BT_ET_RE.finditer(content):
-        body = bt_match.group(1)
+    for body in _iter_bt_bodies(content):
         x = y = 0.0
         leading = 12.0
         nums: list[float] = []
@@ -122,10 +170,13 @@ def _iter_text_items(content: bytes):
 
 def _collect_items(pdf_bytes: bytes) -> list[tuple[float, float, str]]:
     items: list[tuple[float, float, str]] = []
-    for sm in _STREAM_RE.finditer(pdf_bytes):
-        raw = sm.group(1)
+    for raw in _iter_stream_bodies(pdf_bytes):
         try:
-            content = zlib.decompress(raw)
+            # capped: a kB-sized zlib bomb must not expand unbounded —
+            # the decompressed prefix is kept (crawl-robust truncation)
+            content = zlib.decompressobj().decompress(
+                raw, MAX_STREAM_DECOMPRESSED
+            )
         except zlib.error:
             content = raw
         items.extend(_iter_text_items(content))

@@ -135,3 +135,72 @@ def test_pdf_kernel_never_raises_on_structured_garbage():
             doc, "https://x/doc.pdf"
         )
         assert err is None or isinstance(err, str)
+
+
+def test_pdf_adversarial_floods_parse_in_linear_time():
+    """Crawl-DoS guard (r4, same class as the HTML-tokenizer fix): a
+    `stream\\n` or `BT` flood with no terminator must not rescan to EOF
+    per occurrence. Scaling-ratio assertion — 2× input ≤ ~3× time —
+    rather than an absolute wall-clock bound (±50% noisy host)."""
+    import time
+
+    from gemini_ocr_batch_spark.kernels.pdf_extract import extract_pdf
+
+    for unit, reps in [(b"stream\n x ", 40000), (b"BT (t) ", 60000),
+                       (b"stream\r\n", 40000)]:
+        def timed(k):
+            blob = unit * k
+            t0 = time.perf_counter()
+            extract_pdf(blob)
+            return time.perf_counter() - t0
+
+        timed(reps // 4)  # warm-up
+        t1 = min(timed(reps), timed(reps))
+        t2 = min(timed(reps * 2), timed(reps * 2))
+        assert t2 <= 3.2 * t1 + 0.05, (
+            f"superlinear pdf parse for {unit!r}: t(n)={t1:.3f}s "
+            f"t(2n)={t2:.3f}s"
+        )
+
+
+def test_pdf_flate_bomb_is_capped():
+    """A small zlib bomb must decompress to at most the per-stream cap
+    (the kept prefix still parses) instead of expanding unbounded."""
+    import zlib
+
+    from gemini_ocr_batch_spark.kernels.pdf_extract import (
+        MAX_STREAM_DECOMPRESSED,
+        _collect_items,
+    )
+
+    # ~1 GiB of zeros compresses to ~1 MB; the kernel must hold the
+    # decompressed prefix at the cap
+    bomb = zlib.compress(b"\x00" * (1 << 30), 9)
+    pdf = b"stream\n" + bomb + b"\nendstream"
+    items = _collect_items(pdf)  # must return quickly, bounded memory
+    assert items == []  # zeros contain no BT..ET
+    assert MAX_STREAM_DECOMPRESSED <= 64 * 1024 * 1024
+
+
+def test_pdf_stream_scan_matches_old_regex_semantics():
+    """The linear scanner must yield the same bodies as the old lazy
+    regex on well-formed and tricky-but-terminated inputs."""
+    import re
+
+    from gemini_ocr_batch_spark.kernels.pdf_extract import (
+        _iter_stream_bodies,
+    )
+
+    old = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.DOTALL)
+    cases = [
+        b"stream\nABC\nendstream",
+        b"stream\r\nABC\r\nendstream",
+        b"junk stream\nA\nendstream mid stream\r\nB\nendstream tail",
+        b"streamX no newline stream\nreal\nendstream",
+        b"stream\nA\r\nendstream",          # \r stripped
+        b"stream\nnested stream\n keyword\nendstream",
+    ]
+    for blob in cases:
+        assert list(_iter_stream_bodies(blob)) == [
+            m.group(1) for m in old.finditer(blob)
+        ], blob
