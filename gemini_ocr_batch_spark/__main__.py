@@ -49,13 +49,20 @@ def main(argv: list[str] | None = None) -> int:
         help="corpus-prep pass over a finished run: dedup/quality/"
              "repetition flags + the kept corpus",
     )
-    cur_p.add_argument("--extracted", required=True,
-                       help="a `run` --out dir (reads extracted_all)")
-    cur_p.add_argument("--out", required=True)
-    cur_p.add_argument("--min-quality", type=int, default=3000,
-                       help="quality floor, x10000 fixed-point")
-    cur_p.add_argument("--max-rep", type=int, default=5000,
-                       help="top-2-gram repetition ceiling, x10000")
+    cur_p.add_argument("--config", default=None,
+                       help="same YAML as `run`; flags override "
+                            "curation.* / paths.out values")
+    cur_p.add_argument("--extracted", default=None,
+                       help="a `run` --out dir (reads extracted_all); "
+                            "defaults to config paths.out")
+    cur_p.add_argument("--out", default=None,
+                       help="defaults to config curation.curated_out")
+    cur_p.add_argument("--min-quality", type=int, default=None,
+                       help="quality floor, x10000 fixed-point "
+                            "(config curation.min_quality_x10000)")
+    cur_p.add_argument("--max-rep", type=int, default=None,
+                       help="top-2-gram repetition ceiling, x10000 "
+                            "(config curation.max_rep_x10000)")
     cur_p.add_argument("--master", default=None)
 
     st_p = sub.add_parser("status", help="checkpoint + lineage summary")
@@ -166,15 +173,54 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.verb == "curate":
+        from gemini_ocr_batch_spark.config import (
+            ConfigError,
+            load_config,
+            load_dotenv,
+            resolve_config_path,
+        )
         from gemini_ocr_batch_spark.operators.webtext import run_curation_job
 
-        spark = get_spark(master=args.master)
+        load_dotenv(".env")  # same resolution order as `run`
+        cfg = None
+        cfg_path = resolve_config_path(args.config)
+        if cfg_path:
+            try:
+                cfg = load_config(cfg_path)
+            except ConfigError as exc:
+                print(str(exc), file=sys.stderr)
+                return 2
+        extracted = args.extracted or (cfg.paths.out if cfg else None)
+        out_dir = args.out or (cfg.curation.curated_out if cfg else None)
+        missing = [n for n, v in (("--extracted", extracted),
+                                  ("--out", out_dir)) if not v]
+        if missing:
+            print(
+                f"missing {' and '.join(missing)} (flag or config "
+                "paths.out / curation.curated_out)",
+                file=sys.stderr,
+            )
+            return 2
+        min_q = (
+            args.min_quality
+            if args.min_quality is not None
+            else (cfg.curation.min_quality_x10000 if cfg else 3000)
+        )
+        max_r = (
+            args.max_rep
+            if args.max_rep is not None
+            else (cfg.curation.max_rep_x10000 if cfg else 5000)
+        )
+        spark = get_spark(
+            master=args.master or (cfg.spark.master if cfg else None),
+            shuffle_partitions=(cfg.spark.shuffle_partitions if cfg else None),
+        )
         stats = run_curation_job(
             spark,
-            args.extracted,
-            args.out,
-            min_quality_x10000=args.min_quality,
-            max_rep_x10000=args.max_rep,
+            extracted,
+            out_dir,
+            min_quality_x10000=min_q,
+            max_rep_x10000=max_r,
         )
         print(json.dumps(stats))
         return 0

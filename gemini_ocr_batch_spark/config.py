@@ -85,12 +85,21 @@ class SparkConfig:
 
 
 @dataclass(frozen=True)
+class CurationConfig:
+    # fixed-point x10000 thresholds — webtext.curation_flags defaults
+    min_quality_x10000: int = 3000
+    max_rep_x10000: int = 5000
+    curated_out: str | None = None
+
+
+@dataclass(frozen=True)
 class AppConfig:
     paths: PathsConfig
     filters: FiltersConfig = field(default_factory=FiltersConfig)
     execution: ExecutionConfig = field(default_factory=ExecutionConfig)
     checkpoint: CheckpointConfig = field(default_factory=CheckpointConfig)
     spark: SparkConfig = field(default_factory=SparkConfig)
+    curation: CurationConfig = field(default_factory=CurationConfig)
 
 
 # ---------------------------------------------------------------------------
@@ -256,13 +265,30 @@ def validate_config(raw: dict, source: str = "<in-memory>") -> AppConfig:
                                     None, ctx, ge=1),
     )
 
+    cur_sec = _section(raw, "curation", ctx)
+    curated_out = cur_sec.get("curated_out")
+    if curated_out is not None and (
+        not isinstance(curated_out, str) or not curated_out.strip()
+    ):
+        ctx.err("curation.curated_out", "must be a non-empty string")
+        curated_out = None
+    curation = CurationConfig(
+        min_quality_x10000=_opt_int(
+            cur_sec, "curation", "min_quality_x10000", 3000, ctx, ge=0
+        ),
+        max_rep_x10000=_opt_int(
+            cur_sec, "curation", "max_rep_x10000", 5000, ctx, ge=0
+        ),
+        curated_out=curated_out,
+    )
+
     if ctx.errors:
         raise ConfigError(
             f"Config validation failed for {source}:\n"
             + "\n".join(ctx.errors)
         )
     return AppConfig(paths=paths, filters=filters, execution=execution,
-                     checkpoint=checkpoint, spark=spark)
+                     checkpoint=checkpoint, spark=spark, curation=curation)
 
 
 def load_config(path: str) -> AppConfig:

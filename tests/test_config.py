@@ -200,3 +200,36 @@ def test_apply_input_filters(spark):
     # filters are plain predicates → pushed to the scan, not post-filtered
     plan = apply_input_filters(pages, f)._jdf.queryExecution().executedPlan()
     assert "Filter" in plan.toString()
+
+
+def test_curation_section_defaults_and_validation():
+    from gemini_ocr_batch_spark.config import (
+        ConfigError,
+        validate_config,
+    )
+
+    base = {"paths": {"pages": "/p", "out": "/o"}}
+    cfg = validate_config(base)
+    assert cfg.curation.min_quality_x10000 == 3000
+    assert cfg.curation.max_rep_x10000 == 5000
+    assert cfg.curation.curated_out is None
+
+    cfg = validate_config(
+        {**base, "curation": {"min_quality_x10000": 4200,
+                              "max_rep_x10000": 2500,
+                              "curated_out": "/cur"}}
+    )
+    assert cfg.curation.min_quality_x10000 == 4200
+    assert cfg.curation.max_rep_x10000 == 2500
+    assert cfg.curation.curated_out == "/cur"
+
+    import pytest
+
+    with pytest.raises(ConfigError) as exc:
+        validate_config(
+            {**base, "curation": {"min_quality_x10000": -1,
+                                  "curated_out": ""}}
+        )
+    msg = str(exc.value)
+    assert "curation.min_quality_x10000" in msg
+    assert "curation.curated_out" in msg
