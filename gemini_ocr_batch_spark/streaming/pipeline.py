@@ -217,6 +217,45 @@ def sessionize_batch(events: DataFrame, gap_sec: int = SESSION_GAP_SEC) -> DataF
     )
 
 
+def stream_curate(pages: DataFrame, time_col: str = "warc_ts",
+                  text_col: str = "text",
+                  min_quality_x10000: int = 3000,
+                  max_rep_x10000: int = 5000,
+                  watermark: str = "1 hour") -> DataFrame:
+    """Streaming analog of the batch curation pass
+    (webtext.curation_flags → `curate` verb): the quality floor and
+    repetition ceiling are STATELESS column expressions (the identical
+    single-source fixed-point columns), and canonical selection becomes
+    first-arrival-wins within the watermark horizon
+    (``dropDuplicatesWithinWatermark`` keyed by the content
+    fingerprint — batch chooses min id instead; same survivor SET per
+    duplicate cluster either way).
+
+    Quality/repetition filtering happens BEFORE the dedup so only
+    passing documents enter the state store — state is O(distinct
+    fingerprints of keepable docs per horizon). Exact cross-horizon
+    canonicalization stays with the batch `curate` pass over the
+    accumulated corpus.
+    """
+    from gemini_ocr_batch_spark.functions.hashing import tokens
+    from gemini_ocr_batch_spark.operators.textstats import quality_x10000_col
+    from gemini_ocr_batch_spark.operators.webtext import (
+        repetition_x10000_cols,
+    )
+
+    rep, _ = repetition_x10000_cols(text_col)
+    flagged = pages.withColumn(
+        "fingerprint", F.md5(F.array_join(tokens(text_col), " "))
+    ).filter(
+        (quality_x10000_col(text_col) >= min_quality_x10000)
+        & (rep <= max_rep_x10000)
+    )
+    return (
+        flagged.withWatermark(time_col, watermark)
+        .dropDuplicatesWithinWatermark(["fingerprint"])
+    )
+
+
 def stream_dedup_exact(pages: DataFrame, time_col: str = "warc_ts",
                        text_col: str = "text",
                        watermark: str = "1 hour") -> DataFrame:

@@ -163,3 +163,62 @@ def test_stream_dedup_exact(spark, tmp_path):
     kept = {r["text"]: r["url"] for r in got}
     assert kept["same text"] in {"u1", "u2", "u4"}
     assert kept["other text"] == "u3"
+
+
+def test_stream_curate_matches_batch_keep_set(spark, tmp_path):
+    """Streaming curation over a staged corpus == the batch curation
+    keep SET per fingerprint (stream keeps first arrival, batch keeps
+    min id — same survivor set per duplicate cluster), with
+    quality/repetition filtering applied before state."""
+    from pyspark.sql import functions as F
+
+    from gemini_ocr_batch_spark.operators.webtext import curation_flags
+    from gemini_ocr_batch_spark.streaming.pipeline import stream_curate
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and then it runs "
+        "far away into the woods with a friend of the family for fun"
+    )
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 0), good),
+        (2, dt.datetime(2024, 1, 1, 0, 5), good),        # dup of 1
+        (3, dt.datetime(2024, 1, 1, 0, 6), "spam " * 40),  # repetitive
+        (4, dt.datetime(2024, 1, 1, 0, 7), good + " extra tail words"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, warc_ts timestamp, text string"
+    )
+    staged = tmp_path / "curate_in"
+    df.write.parquet(str(staged))
+    stream = spark.readStream.schema(df.schema).parquet(str(staged))
+    q = (
+        stream_curate(stream, min_quality_x10000=4000)
+        .select("fingerprint")
+        .writeStream.format("memory")
+        .queryName("sc_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sc_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["fingerprint"] for r in spark.sql("select * from sc_out").collect()
+    }
+    batch = curation_flags(df, min_quality_x10000=4000)
+    batch_keep_fps = {
+        r["fingerprint"]
+        for r in df.join(
+            batch.filter("keep").select("doc_id"), "doc_id", "semi"
+        )
+        .select(
+            F.md5(
+                F.array_join(
+                    F.split(F.trim(F.lower(F.col("text"))), r"\s+"), " "
+                )
+            ).alias("fingerprint")
+        )
+        .collect()
+    }
+    assert got == batch_keep_fps
+    assert len(got) == 2  # the good cluster's survivor + the tail variant
