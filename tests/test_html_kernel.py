@@ -347,3 +347,31 @@ def test_adversarial_inputs_parse_in_linear_time():
             f"superlinear parse for {unit!r}: t(n)={t1:.3f}s "
             f"t(2n)={t2:.3f}s"
         )
+
+
+def test_unterminated_decl_pi_recovery_matches_stdlib():
+    """The r4 memoized-recovery change in the no-'>'-remains regime
+    (<!decl / <?pi fallback now calls self._recovery) must stay
+    stdlib-faithful: seeded fuzz of documents whose tails are
+    unterminated declaration/PI/comment/marked-section constructs with
+    NO closing '>' anywhere after them."""
+    import random
+
+    from gemini_ocr_batch_spark.kernels.html_extract import (
+        segment_blocks,
+        segment_blocks_stdlib,
+    )
+
+    rng = random.Random(77)
+    openers = ["<!doctype x", "<! decl", "<?pi data", "<?", "<!x",
+               "<!-- c", "<![CDATA[ y", "<![if z", "</ j", "<!"]
+    words = ["alpha", "beta", "gamma", "<p>", "</p>", "&amp;", "&",
+             "<b>", "</b>", "x<y", "a&b;"]
+    for _ in range(400):
+        body = " ".join(rng.choice(words) for _ in range(rng.randint(0, 12)))
+        tail = " ".join(
+            rng.choice(openers) + " " + rng.choice(["t", "u v", ""])
+            for _ in range(rng.randint(1, 4))
+        ).replace(">", "")  # guarantee the no-'>'-remains regime
+        doc = body + " " + tail
+        assert segment_blocks(doc) == segment_blocks_stdlib(doc), doc

@@ -224,3 +224,41 @@ def test_line_dedup_winner_shuffle_is_text_free(spark, sf_dir):
     first = agg_exchanges[0]
     input_line = next(l for l in first.splitlines() if l.startswith("Input"))
     assert "line#" not in input_line, first
+
+
+def test_line_dedup_fuzz_vs_python_oracle(spark):
+    """Seeded random corpora vs an independent pure-Python first-
+    occurrence oracle (docs ascending, lines in order) — pins the
+    (min doc, min line_no) winner rule and the reassembly."""
+    import random
+
+    from gemini_ocr_batch_spark.operators.webtext import line_dedup
+
+    vocab = ["aa", "bb", "cc", "dd", "ee", "ff", "gg"]
+    rng = random.Random(9)
+    for _ in range(5):
+        rows = [
+            (
+                doc_id,
+                "\n".join(
+                    rng.choice(vocab)
+                    for _ in range(rng.randint(1, 6))
+                ),
+            )
+            for doc_id in range(1, rng.randint(3, 9))
+        ]
+        seen: set[str] = set()
+        want = {}
+        for doc_id, text in sorted(rows):
+            kept = [
+                line
+                for line in text.split("\n")
+                if line not in seen and not seen.add(line)
+            ]
+            want[doc_id] = "\n".join(kept)
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: r["text_deduped"]
+            for r in line_dedup(df).collect()
+        }
+        assert got == want, rows
