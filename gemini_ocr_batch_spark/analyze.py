@@ -95,3 +95,53 @@ def export_failures_csv(failures: DataFrame, path: str) -> None:
         .option("header", True)
         .csv(path)
     )
+
+
+def curation_report(flags: DataFrame) -> dict[str, DataFrame]:
+    """Reporting pack over a `curate` run's flags table (r4) — the
+    corpus-prep counterpart of failure_report, set-at-a-time.
+
+    Expects the (url/id, is_canonical, quality_ok, repetition_ok, keep)
+    schema `webtext.run_curation_job` writes. The drop_reasons view
+    attributes every dropped doc to each rule it failed (a doc can fail
+    several)."""
+    id_col = flags.columns[0]
+    totals = flags.agg(
+        F.count(F.lit(1)).alias("total_docs"),
+        F.sum(F.col("keep").cast("long")).alias("kept"),
+        F.sum((~F.col("is_canonical")).cast("long")).alias("duplicates"),
+        F.sum((~F.col("quality_ok")).cast("long")).alias("low_quality"),
+        F.sum((~F.col("repetition_ok")).cast("long")).alias("repetitive"),
+    )
+    reasons = (
+        flags.filter(~F.col("keep"))
+        .select(
+            id_col,
+            F.explode(
+                F.filter(
+                    F.array(
+                        F.when(~F.col("is_canonical"), F.lit("duplicate")),
+                        F.when(~F.col("quality_ok"), F.lit("low_quality")),
+                        F.when(~F.col("repetition_ok"), F.lit("repetitive")),
+                    ),
+                    lambda x: x.isNotNull(),
+                )
+            ).alias("reason"),
+        )
+        .groupBy("reason")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "reason")
+    )
+    by_domain = None
+    if id_col == "url":
+        by_domain = (
+            flags.filter(~F.col("keep"))
+            .withColumn("domain", _domain(F.col("url")))
+            .groupBy("domain")
+            .agg(F.count(F.lit(1)).alias("n_dropped"))
+            .orderBy(F.desc("n_dropped"), "domain")
+        )
+    out = {"totals": totals, "drop_reasons": reasons}
+    if by_domain is not None:
+        out["dropped_by_domain"] = by_domain
+    return out

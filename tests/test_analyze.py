@@ -83,3 +83,29 @@ def test_export_csv(spark, failures_df, tmp_path):
     back = spark.read.option("header", True).csv(path)
     assert back.count() == 20
     assert "created_at_iso" in back.columns
+
+
+def test_curation_report(spark, tmp_path):
+    from gemini_ocr_batch_spark.analyze import curation_report
+
+    rows = [
+        ("https://a.ex/1", True, True, True, True),
+        ("https://a.ex/2", False, True, True, False),   # duplicate
+        ("https://b.ex/3", True, False, True, False),   # low quality
+        ("https://b.ex/4", False, False, False, False),  # fails all three
+    ]
+    flags = spark.createDataFrame(
+        rows,
+        "url string, is_canonical boolean, quality_ok boolean, "
+        "repetition_ok boolean, keep boolean",
+    )
+    rep = curation_report(flags)
+    totals = rep["totals"].collect()[0]
+    assert (totals["total_docs"], totals["kept"]) == (4, 1)
+    assert (totals["duplicates"], totals["low_quality"],
+            totals["repetitive"]) == (2, 2, 1)
+    reasons = {r["reason"]: r["n"] for r in rep["drop_reasons"].collect()}
+    assert reasons == {"duplicate": 2, "low_quality": 2, "repetitive": 1}
+    by_dom = {r["domain"]: r["n_dropped"]
+              for r in rep["dropped_by_domain"].collect()}
+    assert by_dom == {"a.ex": 1, "b.ex": 2}
