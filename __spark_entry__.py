@@ -119,11 +119,14 @@ def _q_membership_filter(spark, sf_dir):
 
 
 def _q_range_filter(spark, sf_dir):
-    # P2: inclusive year-range analog over event time.
+    # P2: inclusive time-range analog over event time.  The driver tables
+    # span January 2024 only — the window sits mid-month so the filter
+    # keeps a strict non-empty subset (the r1-r4 Feb-Mar window matched
+    # zero rows at every sf: a 0-vs-0 hash "pass" that verified nothing).
     ev = _t(spark, sf_dir, "events")
     return (
         ev.filter(
-            F.col("ts").between("2024-02-01 00:00:00", "2024-03-31 23:59:59")
+            F.col("ts").between("2024-01-10 00:00:00", "2024-01-20 23:59:59")
         )
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -293,10 +296,19 @@ def _q_string_tail(spark, sf_dir):
 
 
 def _q_set_except(spark, sf_dir):
-    # SO1: key-set difference.
+    # SO1: key-set difference.  The subtracted side is restricted by a
+    # user_id modulus: the synthetic corpus gives every user every event
+    # type, so the unrestricted click-minus-purchase difference was empty
+    # at every sf (r1-r4: a vacuous 0-vs-0 row).
     ev = _t(spark, sf_dir, "events")
     first = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
-    second = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    second = (
+        ev.filter(
+            (F.col("event_type") == "purchase") & (F.col("user_id") % 3 == 0)
+        )
+        .select("user_id")
+        .distinct()
+    )
     return first.exceptAll(second).orderBy("user_id")
 
 
@@ -464,11 +476,20 @@ def _q_fingerprint(spark, sf_dir):
 
 
 def _q_winnow_fingerprints(spark, sf_dir):
+    # The fingerprint sequence is serialized to a CSV string (the
+    # group_collect pattern): the driver's canonicalizer lexsorts every
+    # output column through pandas, and a raw array<long> column is
+    # unhashable there (the r4 `err` row).  Registered queries must emit
+    # scalar columns only — tests/test_entry_parity.py now pins this.
     from gemini_ocr_batch_spark.operators.textstats import winnow_fingerprints
 
     out = winnow_fingerprints(_t(spark, sf_dir, "documents"))
     return out.select(
-        "doc_id", F.size("fingerprints").alias("n_fp"), "fingerprints"
+        "doc_id",
+        F.size("fingerprints").alias("n_fp"),
+        F.concat_ws(
+            ",", F.transform(F.col("fingerprints"), lambda x: x.cast("string"))
+        ).alias("fp_csv"),
     ).orderBy("doc_id")
 
 
@@ -484,10 +505,25 @@ def _seeded_gaussians(n: int, dim: int, seed: int) -> list[list[float]]:
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n)]
 
 
+def _unit(vec: list[float]) -> list[float]:
+    import math
+
+    n = math.sqrt(sum(x * x for x in vec)) or 1.0
+    return [x / n for x in vec]
+
+
 _ANN_DIM = 64
 _ANN_QUERY_VEC = _seeded_gaussians(1, _ANN_DIM, 101)[0]
 _IVF_K = 8
-_IVF_CENTROIDS = _seeded_gaussians(_IVF_K, _ANN_DIM, 103)
+# UNIT-NORMALIZED: the driver embeddings live on the unit sphere, and the
+# r4 raw Gaussian centroids (norm ≈ 8) collapsed the squared-L2 argmin to
+# a single cell — every vector in cell 4, probes [7, 6] empty, so the
+# ann_ivf "pass" compared 0 rows against 0 rows.  Unit directions spread
+# the assignment across all 8 cells (sf0.01: 49-71 vectors per cell, 120
+# in the two probed cells) so the probed top-k path is genuinely verified.
+# The doubles are computed once here and inlined as repr literals on both
+# engines, so assignment parity stays bit-for-bit.
+_IVF_CENTROIDS = [_unit(v) for v in _seeded_gaussians(_IVF_K, _ANN_DIM, 103)]
 _IVF_N_PROBE = 2
 
 
@@ -883,10 +919,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": _q_pricing_summary,
         "pivot_matrix": _q_pivot,
         "rollup_totals": _q_rollup,
-        "case_mapping": _q_case_mapping,
         # sorts/limits/set ops (L*/SO*)
         "ordered_limit": _q_ordered_limit,
-        "recency_limit": _q_recency_limit,
         "set_except": _q_set_except,
         # training-data pipeline
         "dedup_exact": _q_dedup_exact,
@@ -903,6 +937,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # corpus-prep operators redact_pii + repetition_score
         "redact_pii": _q_redact_pii,
         "repetition_score": _q_repetition_score,
+        # r5: case_mapping + recency_limit (single-expression CASE chain /
+        # sort-limit, both engine-trivial) retired to local_parity(); the
+        # freed slots driver-register the r4 curation family (VERDICT r4
+        # item 5): the composed curation decision and C4-style corpus-level
+        # line dedup.
+        "curation_flags": _q_curation_flags,
+        "line_dedup": _q_line_dedup,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "json_path_extract": _q_json_path_extract,
         "json_fence_rescue": _q_json_fence_rescue,
@@ -1271,7 +1312,8 @@ def _winnow_oracle_sql() -> str:
             )
             SELECT docs.doc_id,
                    COALESCE(fp.n_fp, 0) AS n_fp,
-                   COALESCE(fp.fingerprints, []) AS fingerprints
+                   array_to_string(COALESCE(fp.fingerprints, []), ',')
+                     AS fp_csv
             FROM documents docs LEFT JOIN fp USING (doc_id)
             ORDER BY doc_id
         """
@@ -1619,13 +1661,24 @@ def local_parity() -> dict[str, tuple]:
             _q_canonicalize_urls,
             _canonicalize_urls_oracle_sql(),
         ),
-        "curation_flags": (
-            _q_curation_flags,
-            _curation_flags_oracle_sql(),
+        # r5: retired from the driver registry (slots freed for the
+        # curation family) but still oracle-gated here every pytest run.
+        "case_mapping": (
+            _q_case_mapping,
+            """
+            SELECT CASE WHEN event_type = 'error' THEN 'HARD_FAIL'
+                        WHEN value < 0 THEN 'NEGATIVE'
+                        WHEN event_type IN ('click','view') THEN 'ENGAGEMENT'
+                        ELSE 'OTHER' END AS category,
+                   count(*) AS n
+            FROM events GROUP BY 1 ORDER BY category
+            """,
         ),
-        "line_dedup": (
-            _q_line_dedup,
-            _LINE_DEDUP_ORACLE,
+        "recency_limit": (
+            _q_recency_limit,
+            """
+            SELECT event_id, ts FROM events ORDER BY ts DESC, event_id LIMIT 50
+            """,
         ),
         "fingerprint": (
             _q_fingerprint,
@@ -1695,8 +1748,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "range_filter": """
             SELECT event_type, count(*) AS n FROM events
-            WHERE ts BETWEEN TIMESTAMP '2024-02-01 00:00:00'
-                         AND TIMESTAMP '2024-03-31 23:59:59'
+            WHERE ts BETWEEN TIMESTAMP '2024-01-10 00:00:00'
+                         AND TIMESTAMP '2024-01-20 23:59:59'
             GROUP BY event_type ORDER BY event_type
         """,
         "shape_predicate": """
@@ -1766,27 +1819,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, o_orderdate FROM orders
             ORDER BY o_orderdate, o_orderkey LIMIT 20
         """,
-        "recency_limit": """
-            SELECT event_id, ts FROM events ORDER BY ts DESC, event_id LIMIT 50
-        """,
         "set_except": """
             SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
             EXCEPT
-            SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+            SELECT DISTINCT user_id FROM events
+            WHERE event_type = 'purchase' AND user_id % 3 = 0
             ORDER BY user_id
         """,
         "semi_join": """
             SELECT c_custkey, c_mktsegment FROM customer c
             WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
             ORDER BY c_custkey
-        """,
-        "case_mapping": """
-            SELECT CASE WHEN event_type = 'error' THEN 'HARD_FAIL'
-                        WHEN value < 0 THEN 'NEGATIVE'
-                        WHEN event_type IN ('click','view') THEN 'ENGAGEMENT'
-                        ELSE 'OTHER' END AS category,
-                   count(*) AS n
-            FROM events GROUP BY 1 ORDER BY category
         """,
         "distinct_stats": """
             SELECT count(*) AS total,
@@ -1929,6 +1972,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "redact_pii": _redact_pii_oracle_sql(),
         "repetition_score": _repetition_score_oracle_sql(),
+        "curation_flags": _curation_flags_oracle_sql(),
+        "line_dedup": _LINE_DEDUP_ORACLE,
         "json_path_extract": """
             SELECT event_id,
                    CAST(json_extract_string(props, '$.k') AS INT) AS k
