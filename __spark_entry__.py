@@ -535,12 +535,16 @@ def _q_ann_bruteforce(spark, sf_dir):
 
 
 def _q_ann_lsh(spark, sf_dir):
+    # multi_probe=1 (the Hamming-1 shell): with 6 planes over 64 cells
+    # the query's EXACT bucket is empty at sf0.001, which made this row
+    # vacuous at the local gate's scale — and exact-bucket-only recall is
+    # fragile at any scale when buckets are sparse.
     from gemini_ocr_batch_spark.operators.similarity import lsh_topk
 
     emb = _t(spark, sf_dir, "embeddings")
-    return lsh_topk(emb, _ANN_QUERY_VEC, k=10, n_planes=6).select(
-        "vec_id", "rank"
-    )
+    return lsh_topk(
+        emb, _ANN_QUERY_VEC, k=10, n_planes=6, multi_probe=1
+    ).select("vec_id", "rank")
 
 
 def _q_ann_ivf(spark, sf_dir):
@@ -1137,11 +1141,14 @@ def _embedding_near_dup_oracle_sql(dim: int = 64, n_planes: int = 4,
 
 def _ann_lsh_oracle_sql(dim: int = 64, n_planes: int = 6, seed: int = 13,
                         k: int = 10) -> str:
-    """DuckDB twin of lsh_topk (see _bucket_expr_sql for the hyperplane
-    inlining / fold-order matching); the query vector is the fixed
-    literal _ANN_QUERY_VEC, its bucket computed engine-side by the same
-    bucket expression."""
+    """DuckDB twin of lsh_topk with multi_probe=1 (see _bucket_expr_sql
+    for the hyperplane inlining / fold-order matching); the query vector
+    is the fixed literal _ANN_QUERY_VEC, its bucket computed engine-side
+    by the same bucket expression.  The Hamming-≤1 probe shell is
+    expressed as ``xor(bucket, qb) IN (0, 1, 2, 4, ...)`` — identical
+    membership to the Spark side's driver-computed literal IN list."""
     bucket_expr = _bucket_expr_sql(dim, n_planes, seed)
+    probe_masks = ", ".join(["0"] + [str(1 << i) for i in range(n_planes)])
     return f"""
             WITH e AS (
               SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
@@ -1156,7 +1163,7 @@ def _ann_lsh_oracle_sql(dim: int = 64, n_planes: int = 6, seed: int = 13,
             q AS (SELECT v AS qv, {bucket_expr} AS qb FROM qraw),
             scored AS (
               SELECT vec_id, list_cosine_similarity(v, qv) AS c
-              FROM b, q WHERE b.bucket = q.qb
+              FROM b, q WHERE xor(b.bucket, q.qb) IN ({probe_masks})
             )
             SELECT vec_id, rank FROM (
               SELECT vec_id,

@@ -96,13 +96,23 @@ def lsh_topk(
     k: int = 10,
     n_planes: int = 8,
     seed: int = 13,
+    multi_probe: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Approximate top-k: score only vectors in the query's sign bucket.
 
-    At scale, write the table partitioned by bucket → partition pruning
-    makes this a metadata-bounded scan instead of a full pass.
+    ``multi_probe`` ≥ 1 also probes every bucket within that Hamming
+    distance of the query's bucket (multi-probe LSH, Lv et al., VLDB
+    2007): a sign bit near the decision boundary flips easily, so the
+    true neighbors concentrate in the Hamming-1 shell.  This costs
+    ``1 + n_planes`` cells instead of 1 but rescues recall when the
+    exact bucket is sparse — with 6 planes over 64 cells a small corpus
+    can leave the exact bucket literally empty.
+
+    At scale, write the table partitioned by bucket → the probe set is a
+    literal IN list, so partition pruning makes this a metadata-bounded
+    scan of the probed cells instead of a full pass.
     """
     dim = len(query_vec)
     planes = hyperplanes(dim, n_planes, seed)
@@ -115,9 +125,14 @@ def lsh_topk(
     for i, plane in enumerate(planes):
         d = sum(a * b for a, b in zip(query_vec, plane))
         qb |= (1 if d >= 0 else 0) << i
+    probes = {qb}
+    frontier = {qb}
+    for _ in range(max(0, multi_probe)):
+        frontier = {b ^ (1 << i) for b in frontier for i in range(n_planes)}
+        probes |= frontier
     q = F.array(*[F.lit(float(v)) for v in query_vec])
     scored = (
-        with_bucket.filter(F.col("bucket") == qb)
+        with_bucket.filter(F.col("bucket").isin(sorted(probes)))
         .select(F.col(id_col), cosine_col(F.col("v"), q))
     )
     # TakeOrderedAndProject (per-partition top-k, merged) — a global

@@ -31,6 +31,30 @@ def ddb(sf_dir):
     return con
 
 
+def _assert_driver_canon_safe(name: str, pdf: pd.DataFrame, side: str) -> None:
+    """Mirror the driver's canonicalizer contract: it lexsorts EVERY output
+    column through pandas without stringifying objects first, so a
+    list/struct/array-typed column crashes it with ``TypeError: unhashable
+    type`` (the r4 ``winnow_fingerprints`` err row — the local gate's
+    ``astype(str)`` masked it).  Registered queries must emit scalar
+    columns only; serialize containers with concat_ws/array_to_string."""
+    for c in pdf.columns:
+        s = pdf[c]
+        if s.dtype != object:
+            continue
+        bad = s.map(
+            lambda v: isinstance(v, (list, tuple, dict, set))
+            or type(v).__name__ == "ndarray"
+        )
+        if bad.any():
+            raise AssertionError(
+                f"{name}.{c} ({side}): container-typed value "
+                f"{s[bad.idxmax()]!r} — the driver's canonicalizer cannot "
+                "sort it; serialize the column (concat_ws Spark-side, "
+                "array_to_string oracle-side, the group_collect pattern)"
+            )
+
+
 def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
     out = pdf.copy()
     out = out[sorted(out.columns)]
@@ -77,6 +101,18 @@ def test_driver_registry_capped_at_50():
 def test_oracle_parity(spark, sf_dir, ddb, name):
     spark_pdf = QUERIES[name](spark, sf_dir).toPandas()
     duck_pdf = ddb.execute(ORACLES[name]).df()
+    if name in entrymod.queries():
+        # Driver-registered queries face the driver's own canonicalizer:
+        # no container columns, and a 0-row result would make the hash
+        # comparison vacuous (r4: ann_ivf/range_filter/set_except all
+        # "passed" on 0-vs-0 rows).  Empty-by-design queries would need an
+        # explicit allowlist here — currently there are none.
+        _assert_driver_canon_safe(name, spark_pdf, "spark")
+        _assert_driver_canon_safe(name, duck_pdf, "oracle")
+        assert len(spark_pdf) > 0, (
+            f"{name}: registered query returned 0 rows — the driver's "
+            "hash match would be vacuous; make the fixture non-empty"
+        )
     assert len(spark_pdf) == len(duck_pdf), (
         f"{name}: row count {len(spark_pdf)} vs oracle {len(duck_pdf)}"
     )
@@ -100,6 +136,38 @@ def test_oracle_parity(spark, sf_dir, ddb, name):
     a, b = _normalize(spark_pdf), _normalize(duck_pdf)
     pd.testing.assert_frame_equal(a, b, check_dtype=False, atol=1e-6,
                                   obj=name)
+
+
+@pytest.mark.parametrize(
+    "probe_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
+def test_fixture_sizes_within_oracle_series_caps(probe_dir):
+    """Several oracles bound their per-document expansion with FIXED
+    generate_series caps (DuckDB's generate_series cannot take a lateral
+    column bound): 4096 chars for winnow_fingerprints, 1024 tokens for
+    repetition_score/curation_flags, 512 shingle positions for the
+    n-gram/minhash CTE, 64 lines for line_dedup.  If a regenerated
+    fixture ever exceeded a cap the oracle would silently truncate and
+    the mismatch would surface as a confusing value-hash diff — fail
+    loudly here instead, at both the local (sf0.001) and driver (sf0.01)
+    scale factors."""
+    con = duckdb.connect()
+    row = con.execute(
+        f"""
+        SELECT max(length(trim(lower(text)))),
+               max(len(regexp_split_to_array(trim(lower(text)), '\\s+'))),
+               max(len(string_split(text, chr(10))))
+        FROM '{probe_dir}/documents.parquet'
+        """
+    ).fetchone()
+    max_chars, max_tokens, max_lines = row
+    assert max_chars <= 4096, "winnow oracle's generate_series cap exceeded"
+    assert max_tokens <= 1024, (
+        "repetition/curation oracles' generate_series cap exceeded"
+    )
+    assert max_tokens <= 512, "shingle CTE's generate_series cap exceeded"
+    # line_dedup synthesizes 3 extra lines on top of the document text
+    assert max_lines + 3 <= 64, "line_dedup oracle's line cap exceeded"
 
 
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))

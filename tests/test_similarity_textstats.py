@@ -58,6 +58,21 @@ def test_lsh_topk_subset_of_bucket_and_sane(spark, embeddings):
     assert [r["rank"] for r in got] == list(range(1, len(got) + 1))
 
 
+def test_lsh_topk_multi_probe_widens_candidate_pool(spark, embeddings):
+    # multi-probe probes the Hamming-1 shell on top of the exact bucket:
+    # never fewer results, self still rank-1, and the scored pool is the
+    # union over probed cells (so top-k quality is monotone in probes).
+    q = list(embeddings.first()["embedding"])
+    exact = lsh_topk(embeddings, q, k=50, n_planes=6).collect()
+    multi = lsh_topk(embeddings, q, k=50, n_planes=6, multi_probe=1).collect()
+    assert len(multi) >= len(exact)
+    assert multi[0]["vec_id"] == embeddings.first()["vec_id"]
+    exact_ids = {r["vec_id"] for r in exact}
+    multi_ids = {r["vec_id"] for r in multi}
+    if len(multi) < 50:  # pool not truncated by k: strict superset check
+        assert exact_ids <= multi_ids
+
+
 def test_embedding_near_dup_pairs_finds_planted(spark):
     base = [float(i % 7) - 3.0 for i in range(16)]
     near = [v * 1.001 for v in base]
