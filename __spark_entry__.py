@@ -39,17 +39,46 @@ _HTML_SUFFIX = (
 
 
 def _synth_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-kind synthetic crawl over the documents table: every 4th
+    document is a minimal PDF (two positioned text objects → two baselines
+    for the line-clustering step), the rest the boilerplate-wrapped HTML
+    page.  This routes the flagship extraction through BOTH kernels via
+    kernels/dispatch.py content sniffing (the reference's per-record mime
+    dispatch, src/file_api.py:23-25), and both outputs are predictable in
+    SQL: HTML extracts to exactly ``text``; the PDF extracts to
+    ``text || '\\n' || 'synthetic pdf page ' || doc_id`` (one column block
+    → one span).  Text-in-parens is escaped PDF-style Spark-side; the
+    kernel unescapes, so the oracle needs no escaping."""
     docs = _t(spark, sf_dir, "documents")
+    is_pdf = F.col("doc_id") % 4 == 0
+    url = F.concat(
+        F.lit("https://synth.example.org/doc/"),
+        F.col("doc_id").cast("string"),
+        F.when(is_pdf, F.lit(".pdf")).otherwise(F.lit(".html")),
+    )
+    pdf_text = F.regexp_replace(F.col("text"), r"([\\()])", r"\\$1")
+    pdf_content = F.concat(
+        F.lit("BT /F1 12 Tf 1 0 0 1 72.0 720.0 Tm ("),
+        pdf_text,
+        F.lit(") Tj 1 0 0 1 72.0 706.0 Tm (synthetic pdf page "),
+        F.col("doc_id").cast("string"),
+        F.lit(") Tj ET"),
+    )
+    pdf_blob = F.concat(
+        F.lit("%PDF-1.4\n1 0 obj << /Length "),
+        F.length(pdf_content).cast("string"),
+        F.lit(" >>\nstream\n"),
+        pdf_content,
+        F.lit("\nendstream\nendobj\ntrailer << /Root 1 0 R >>\n%%EOF\n"),
+    )
+    html_blob = F.concat(
+        F.lit(_HTML_PREFIX), F.col("text"), F.lit(_HTML_SUFFIX)
+    )
     return docs.select(
-        F.concat(
-            F.lit("https://synth.example.org/doc/"),
-            F.col("doc_id").cast("string"),
-            F.lit(".html"),
-        ).alias("url"),
+        url.alias("url"),
         F.lit(_WARC_TS).cast("timestamp").alias("warc_ts"),
         F.encode(
-            F.concat(F.lit(_HTML_PREFIX), F.col("text"), F.lit(_HTML_SUFFIX)),
-            "utf-8",
+            F.when(is_pdf, pdf_blob).otherwise(html_blob), "utf-8"
         ).alias("html"),
         F.col("text"),
         F.col("lang"),
@@ -1449,7 +1478,9 @@ def _extraction_resume_oracle_sql() -> str:
     return f"""
             WITH pages AS (
               SELECT 'https://synth.example.org/doc/' ||
-                     CAST(doc_id AS VARCHAR) || '.html' AS url, lang
+                     CAST(doc_id AS VARCHAR) ||
+                     CASE WHEN doc_id % 4 = 0 THEN '.pdf'
+                          ELSE '.html' END AS url, lang
               FROM documents
             )
             SELECT url, lang FROM pages
@@ -1729,18 +1760,29 @@ def local_parity() -> dict[str, tuple]:
 def oracle_sql() -> dict[str, str]:
     return {
         "extract_main_text": """
-            SELECT 'https://synth.example.org/doc/' || doc_id || '.html' AS url,
-                   text AS extracted_text,
+            SELECT 'https://synth.example.org/doc/' || doc_id ||
+                     CASE WHEN doc_id % 4 = 0 THEN '.pdf' ELSE '.html' END
+                     AS url,
+                   CASE WHEN doc_id % 4 = 0
+                        THEN text || chr(10) || 'synthetic pdf page ' || doc_id
+                        ELSE text END AS extracted_text,
                    1 AS n_spans,
-                   'html' AS content_kind
+                   CASE WHEN doc_id % 4 = 0 THEN 'pdf' ELSE 'html' END
+                     AS content_kind
             FROM documents ORDER BY url
         """,
         "prev_context_pipeline": """
             SELECT url, 'synth.example.org' AS domain,
-                   lag(right(text, 500)) OVER (ORDER BY url) AS prev_context
+                   lag(right(extracted_text, 500)) OVER (ORDER BY url)
+                     AS prev_context
             FROM (
-              SELECT 'https://synth.example.org/doc/' || doc_id || '.html'
-                       AS url, text
+              SELECT 'https://synth.example.org/doc/' || doc_id ||
+                       CASE WHEN doc_id % 4 = 0 THEN '.pdf'
+                            ELSE '.html' END AS url,
+                     CASE WHEN doc_id % 4 = 0
+                          THEN text || chr(10) || 'synthetic pdf page '
+                               || doc_id
+                          ELSE text END AS extracted_text
               FROM documents
             ) ORDER BY url
         """,
