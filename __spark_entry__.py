@@ -1502,12 +1502,10 @@ def _q_curation_flags(spark, sf_dir):
     return curation_flags(docs.union(dups))
 
 
-def _curation_flags_oracle_sql(min_q: int = 3000, max_rep: int = 5000) -> str:
-    """DuckDB twin of webtext.curation_flags over the same dup-seeded
-    corpus: quality blend and repetition formula expanded inline (same
-    float op order as the quality_score / repetition_score oracles),
-    canonical = min id per md5 fingerprint."""
-    quality = f"""CAST(floor((
+# Quality blend over a `text` column, x10000 fixed-point — same float op
+# order as the quality_score oracle; shared by the curation_flags and
+# stream_curate_twin oracles.
+_QUALITY_X10000_SQL = f"""CAST(floor((
                  least(len({_TOKENS}) / 200.0, 1.0) * 0.4
                  + least(len(list_filter({_TOKENS},
                        x -> list_contains({_STOPWORDS_SQL}, x))) * 1.0
@@ -1519,6 +1517,14 @@ def _curation_flags_oracle_sql(min_q: int = 3000, max_rep: int = 5000) -> str:
                        '[A-Z]', '', 'g'))) * 1.0
                      / greatest(length(text), 1) * 5.0, 1.0)) * 0.1
                ) * 10000 + 0.5) AS BIGINT)"""
+
+
+def _curation_flags_oracle_sql(min_q: int = 3000, max_rep: int = 5000) -> str:
+    """DuckDB twin of webtext.curation_flags over the same dup-seeded
+    corpus: quality blend and repetition formula expanded inline (same
+    float op order as the quality_score / repetition_score oracles),
+    canonical = min id per md5 fingerprint."""
+    quality = _QUALITY_X10000_SQL
     return f"""
             WITH corpus AS (
               SELECT doc_id, text FROM documents
@@ -1621,6 +1627,82 @@ _LINE_DEDUP_ORACLE = """
                    COALESCE(r.n_kept, 0) AS n_kept
             FROM arr a LEFT JOIN rebuilt r USING (doc_id)
             ORDER BY a.doc_id
+        """
+
+
+def _q_stream_curate_twin(spark, sf_dir):
+    # Batch-equivalence for the streaming curation pass (VERDICT r4 item
+    # 6): documents + a replicated doc_id%5 subset (arriving 10 min later,
+    # inside the 1 h watermark) streamed through stream_curate must keep
+    # exactly one survivor per passing fingerprint.  The synthesized
+    # duplicates are EXACT text replicas, so every cluster's members agree
+    # on the quality/repetition flags — the case where stream (filter →
+    # first-arrival dedup) and batch (min-id canonical → filter) provably
+    # produce the same survivor fingerprint set (see the stream_curate
+    # docstring caveat for case-variant clusters).
+    import tempfile
+
+    from gemini_ocr_batch_spark.streaming.pipeline import stream_curate
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        "text",
+    )
+    dups = docs.filter(F.col("doc_id") % 5 == 0).select(
+        F.lit("2024-01-01 00:10:00").cast("timestamp").alias("warc_ts"),
+        "text",
+    )
+    staged = tempfile.mkdtemp(prefix="sctwin_")
+    base.union(dups).write.mode("overwrite").parquet(staged + "/pages")
+    stream = spark.readStream.schema("warc_ts timestamp, text string").parquet(
+        staged + "/pages"
+    )
+    q = (
+        stream_curate(stream)
+        .select("fingerprint")
+        .writeStream.format("memory")
+        .queryName("sctwin")
+        .outputMode("append")
+        .option("checkpointLocation", staged + "/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql("SELECT fingerprint FROM sctwin ORDER BY fingerprint")
+
+
+def _stream_curate_twin_oracle_sql(min_q: int = 3000,
+                                   max_rep: int = 5000) -> str:
+    """Expected stream_curate survivors: one fingerprint per distinct
+    passing document (duplicates are exact replicas, so pass/fail is a
+    property of the fingerprint)."""
+    return f"""
+            WITH tok AS (
+              SELECT doc_id, text, {_TOKENS} AS toks FROM documents
+            ),
+            g AS (
+              SELECT doc_id, array_to_string(toks[i : i + 1], ' ') AS gram
+              FROM tok, generate_series(1, 1024) AS gs(i)
+              WHERE i <= len(toks) - 1
+            ),
+            pg AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+            pd AS (
+              SELECT doc_id, max(c) AS top_c,
+                     CAST(sum(c) AS BIGINT) AS total
+              FROM pg GROUP BY doc_id
+            ),
+            feat AS (
+              SELECT t.doc_id,
+                     md5(array_to_string(t.toks, ' ')) AS fingerprint,
+                     {_QUALITY_X10000_SQL} AS q,
+                     CAST(COALESCE((pd.top_c * 10000) // pd.total, 0)
+                          AS BIGINT) AS rep
+              FROM tok t LEFT JOIN pd USING (doc_id)
+            )
+            SELECT DISTINCT fingerprint FROM feat
+            WHERE q >= {min_q} AND rep <= {max_rep}
+            ORDER BY fingerprint
         """
 
 
@@ -1735,6 +1817,10 @@ def local_parity() -> dict[str, tuple]:
                      'sum')) * 10000 + 0.5) AS BIGINT) AS l2_norm
             FROM embeddings ORDER BY vec_id
             """,
+        ),
+        "stream_curate_twin": (
+            _q_stream_curate_twin,
+            _stream_curate_twin_oracle_sql(),
         ),
         "stream_dedup_twin": (
             _q_stream_dedup_twin,

@@ -59,6 +59,12 @@ def shingles(token_col: Column, n: int) -> Column:
     evaluated once. The zip extends the shorter (shifted) side with
     nulls, which ``concat_ws`` skips — the final slice trims those
     partial tail grams.
+
+    NULL token arrays (NULL text upstream) yield an EMPTY shingle array,
+    not NULL — matching the short-input case and every DuckDB oracle
+    (whose generate_series joins simply produce zero gram rows), so a
+    null-text row never propagates NULL through gram counts or minhash
+    signatures.
     """
     size = F.size(token_col)
     acc = token_col
@@ -67,4 +73,7 @@ def shingles(token_col: Column, n: int) -> Column:
             token_col, k + 1, F.greatest(size - k, F.lit(0))
         )
         acc = F.zip_with(acc, shifted, lambda a, b: F.concat_ws(" ", a, b))
-    return F.slice(acc, 1, F.greatest(size - (n - 1), F.lit(0)))
+    return F.coalesce(
+        F.slice(acc, 1, F.greatest(size - (n - 1), F.lit(0))),
+        F.array().cast("array<string>"),
+    )

@@ -30,8 +30,13 @@ MAX_STREAM_DECOMPRESSED = 8 * 1024 * 1024  # 8 MiB per content stream
 def _iter_stream_bodies(pdf_bytes: bytes):
     """Yield raw stream bodies — the linear-scan twin of the old
     ``stream\\r?\\n(.*?)\\r?\\nendstream`` lazy regex (same bodies, same
-    skip rules: `stream` must be followed by a newline, the body ends at
-    the first newline-preceded `endstream`, matches never overlap)."""
+    skip rules: `stream` must be followed by a newline, the body — which
+    may be empty — ends at the first LATER newline-preceded `endstream`,
+    matches never overlap).  The terminator search starts at ``j``, not
+    ``j - 1``: the newline after the `stream` keyword must not double as
+    the terminator newline, so ``b"stream\\nendstream"`` yields nothing
+    (exactly the regex, which needs a second newline for the empty-body
+    match) — fuzz-pinned in tests/test_pdf_kernel.py."""
     i, n = 0, len(pdf_bytes)
     while True:
         s = pdf_bytes.find(b"stream", i)
@@ -45,7 +50,7 @@ def _iter_stream_bodies(pdf_bytes: bytes):
         else:  # keyword not followed by newline — not a stream start
             i = s + 1
             continue
-        e = pdf_bytes.find(b"\nendstream", j - 1)
+        e = pdf_bytes.find(b"\nendstream", j)
         if e < 0:
             return
         raw = pdf_bytes[j:e]

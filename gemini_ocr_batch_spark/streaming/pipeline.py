@@ -228,14 +228,20 @@ def stream_curate(pages: DataFrame, time_col: str = "warc_ts",
     single-source fixed-point columns), and canonical selection becomes
     first-arrival-wins within the watermark horizon
     (``dropDuplicatesWithinWatermark`` keyed by the content
-    fingerprint — batch chooses min id instead; same survivor SET per
-    duplicate cluster either way).
+    fingerprint — batch chooses min id instead).
 
-    Quality/repetition filtering happens BEFORE the dedup so only
-    passing documents enter the state store — state is O(distinct
-    fingerprints of keepable docs per horizon). Exact cross-horizon
-    canonicalization stays with the batch `curate` pass over the
-    accumulated corpus.
+    Batch equivalence caveat (ADVICE r4): the fingerprint is md5 of
+    LOWERCASED tokens while quality depends on raw case/punctuation, so
+    a duplicate cluster whose members disagree on the quality flag can
+    diverge — batch drops the whole cluster when its min-id canonical
+    fails the floor (filter AFTER canonical selection), while this
+    stream keeps the first PASSING arrival (filter BEFORE dedup, so only
+    passing documents enter the state store; state stays O(distinct
+    fingerprints of keepable docs per horizon)).  Survivor sets match
+    exactly for clusters whose members agree on the quality/repetition
+    flags — the case the batch-equivalence parity pair pins.  Exact
+    cross-horizon canonicalization stays with the batch `curate` pass
+    over the accumulated corpus.
     """
     from gemini_ocr_batch_spark.functions.hashing import tokens
     from gemini_ocr_batch_spark.operators.textstats import quality_x10000_col

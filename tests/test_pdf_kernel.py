@@ -199,6 +199,13 @@ def test_pdf_stream_scan_matches_old_regex_semantics():
         b"streamX no newline stream\nreal\nendstream",
         b"stream\nA\r\nendstream",          # \r stripped
         b"stream\nnested stream\n keyword\nendstream",
+        # shared-newline edge (ADVICE r4): the newline after `stream`
+        # must NOT double as the terminator newline — the regex needs a
+        # second newline even for an empty body
+        b"stream\nendstream",
+        b"stream\n\nendstream",             # empty body, properly terminated
+        b"stream\r\nendstream",
+        b"stream\nendstream\nendstream",
     ]
     for blob in cases:
         assert list(_iter_stream_bodies(blob)) == [

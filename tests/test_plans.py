@@ -46,7 +46,9 @@ def test_pricing_summary_pushes_date_filter(spark, sf_dir):
 
 def test_ordered_limit_avoids_global_sort(spark, sf_dir):
     assert uses_take_ordered(QS["ordered_limit"](spark, sf_dir))
-    assert uses_take_ordered(QS["recency_limit"](spark, sf_dir))
+    # recency_limit retired to local_parity() in r5 — plan pin kept
+    recency_fn = em.local_parity()["recency_limit"][0]
+    assert uses_take_ordered(recency_fn(spark, sf_dir))
 
 
 def test_checkpoint_pending_broadcasts_small_snapshot(spark, pages_df, tmp_path):

@@ -58,6 +58,7 @@ def test_repetition_score_hand_computed(spark):
         (2, "w x y z"),         # all distinct → 1/3 → 3333
         (3, "solo"),            # no 2-gram
         (4, "spam spam spam spam"),  # one gram repeated 3× → 10000
+        (5, None),              # NULL text: empty shingles → 0/0, not NULL
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {
@@ -68,6 +69,10 @@ def test_repetition_score_hand_computed(spark):
     assert got[2] == (3333, 3)
     assert got[3] == (0, 0)
     assert got[4] == (10000, 3)
+    # the DuckDB oracles emit 0 gram rows for NULL text; the r4 zip_with
+    # shingles rewrite instead propagated a NULL array (ADVICE r4) —
+    # hashing.shingles now coalesces to the empty array
+    assert got[5] == (0, 0)
 
 
 def test_repetition_score_stays_jvm_side_and_shuffle_free(spark, sf_dir):
