@@ -1300,12 +1300,14 @@ def _near_dedup_components_oracle_sql() -> str:
         """
 
 
-def _winnow_oracle_sql() -> str:
-    """DuckDB twin of textstats.winnow_fingerprints (_winnow_one):
+def _winnow_kept_ctes() -> str:
+    """Shared CTE chain computing each document's kept winnowing
+    fingerprints (rows of ``kept`` where ``pm IS NULL OR m <> pm``):
     polynomial rolling hash over char 5-grams == the direct per-gram
     polynomial mod 2^31-1 (exact integers both sides), min per window of
     8 via a ROWS frame, consecutive-dedup via lag (out[-1] always equals
-    the previous window's min, so value-lag is the identical rule)."""
+    the previous window's min, so value-lag is the identical rule).
+    Used by the winnow_fingerprints and winnow_overlap_pairs oracles."""
     from gemini_ocr_batch_spark.operators.textstats import WINNOW_K, WINNOW_W
 
     B, M = 131, (1 << 31) - 1
@@ -1314,7 +1316,7 @@ def _winnow_oracle_sql() -> str:
         for j in range(WINNOW_K)
     )
     return f"""
-            WITH d AS (
+            d AS (
               SELECT doc_id,
                      array_to_string(regexp_split_to_array(
                        trim(lower(text)), '\\s+'), ' ') AS s
@@ -1338,7 +1340,15 @@ def _winnow_oracle_sql() -> str:
               SELECT doc_id, i, m,
                      lag(m) OVER (PARTITION BY doc_id ORDER BY i) AS pm
               FROM wins WHERE rn >= {WINNOW_W}
-            ),
+            )
+    """
+
+
+def _winnow_oracle_sql() -> str:
+    """DuckDB twin of textstats.winnow_fingerprints (see
+    :func:`_winnow_kept_ctes` for the hash construction)."""
+    return f"""
+            WITH {_winnow_kept_ctes()},
             fp AS (
               SELECT doc_id,
                      CAST(count(*) AS INT) AS n_fp,
@@ -1352,6 +1362,25 @@ def _winnow_oracle_sql() -> str:
                      AS fp_csv
             FROM documents docs LEFT JOIN fp USING (doc_id)
             ORDER BY doc_id
+        """
+
+
+def _winnow_pairs_oracle_sql(min_common: int = 2) -> str:
+    """DuckDB twin of dedup.winnow_overlap_pairs: distinct kept
+    fingerprints per document, self-joined, counted per pair."""
+    return f"""
+            WITH {_winnow_kept_ctes()},
+            fps AS (
+              SELECT DISTINCT doc_id AS doc, m AS fp
+              FROM kept WHERE pm IS NULL OR m <> pm
+            )
+            SELECT a.doc AS doc_a, b.doc AS doc_b,
+                   count(*) AS n_common_fp
+            FROM fps a JOIN fps b USING (fp)
+            WHERE a.doc < b.doc
+            GROUP BY 1, 2
+            HAVING count(*) >= {min_common}
+            ORDER BY doc_a, doc_b
         """
 
 
@@ -1630,6 +1659,111 @@ _LINE_DEDUP_ORACLE = """
         """
 
 
+def _q_stratified_sample(spark, sf_dir):
+    # r5 data-mixing primitive: per-language keep rates, content-stable.
+    from gemini_ocr_batch_spark.operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = stratified_sample(
+        docs, "doc_id", "lang",
+        {"en": 0.5, "de": 1.0, "fr": 0.1}, default_rate=0.0,
+    )
+    return out.select("doc_id", "lang").orderBy("doc_id")
+
+
+_STRAT_RATES = {"en": 0.5, "de": 1.0, "fr": 0.1}
+
+
+def _stratified_sample_oracle_sql() -> str:
+    from gemini_ocr_batch_spark.operators.sampling import (
+        stratified_case_sql_duckdb,
+    )
+
+    pred = stratified_case_sql_duckdb("doc_id", "lang", _STRAT_RATES, 0.0)
+    return f"""
+            SELECT doc_id, lang FROM documents
+            WHERE {pred} ORDER BY doc_id
+        """
+
+
+def _q_decontaminate(spark, sf_dir):
+    # r5 eval-leakage sweep: the "benchmark" is a deterministic slice of
+    # the corpus itself (doc_id % 17) so exact members are flagged with
+    # every gram and unrelated docs with none — both axes exercised.
+    from gemini_ocr_batch_spark.operators.decontam import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 17 == 0).select("text")
+    return decontaminate(docs, bench, n=8, min_overlap=1)
+
+
+def _decontaminate_oracle_sql(n: int = 8) -> str:
+    """DuckDB twin of operators.decontam.decontaminate over the same
+    %17-slice benchmark: distinct shingle strings per doc, hashed with
+    the shared h60, probed against the benchmark's distinct hash set."""
+    from gemini_ocr_batch_spark.functions.hashing import h60_sql_duckdb
+
+    return f"""
+            WITH tok AS (
+              SELECT doc_id AS doc, {_TOKENS} AS toks FROM documents
+            ),
+            sh AS (
+              SELECT DISTINCT doc,
+                     array_to_string(toks[i : i + {n - 1}], ' ') AS s
+              FROM tok, generate_series(1, 1024) AS g(i)
+              WHERE i <= len(toks) - {n - 1}
+            ),
+            shh AS (SELECT doc, {h60_sql_duckdb('s')} AS sh FROM sh),
+            bench AS (
+              SELECT DISTINCT sh FROM shh WHERE doc % 17 = 0
+            ),
+            hits AS (
+              SELECT doc, CAST(count(*) AS BIGINT) AS n
+              FROM shh JOIN bench USING (sh) GROUP BY doc
+            )
+            SELECT d.doc_id,
+                   COALESCE(h.n, 0) AS n_overlap_grams,
+                   COALESCE(h.n, 0) >= 1 AS contaminated
+            FROM documents d LEFT JOIN hits h ON h.doc = d.doc_id
+            ORDER BY d.doc_id
+        """
+
+
+def _q_winnow_overlap_pairs(spark, sf_dir):
+    from gemini_ocr_batch_spark.operators.dedup import winnow_overlap_pairs
+
+    return winnow_overlap_pairs(
+        _t(spark, sf_dir, "documents"), min_common=2
+    )
+
+
+def _q_corpus_token_stats(spark, sf_dir):
+    from gemini_ocr_batch_spark.operators.textstats import corpus_token_stats
+
+    return corpus_token_stats(_t(spark, sf_dir, "documents"), "lang")
+
+
+def _corpus_token_stats_oracle_sql() -> str:
+    qc = "quantile_cont(len(toks), {p})"
+    pcts = ",\n                   ".join(
+        f"CAST(floor({qc.format(p=p)} * 100 + 0.5) AS BIGINT) AS {a}"
+        for p, a in ((0.5, "p50_x100"), (0.9, "p90_x100"),
+                     (0.99, "p99_x100"))
+    )
+    return f"""
+            WITH tok AS (
+              SELECT lang, {_TOKENS} AS toks FROM documents
+            )
+            SELECT lang,
+                   count(*) AS n_docs,
+                   CAST(sum(len(toks)) AS BIGINT) AS total_tokens,
+                   CAST(floor(avg(len(toks)) * 100 + 0.5) AS BIGINT)
+                     AS mean_tokens_x100,
+                   {pcts}
+            FROM tok GROUP BY lang ORDER BY lang
+        """
+
+
 def _q_stream_curate_twin(spark, sf_dir):
     # Batch-equivalence for the streaming curation pass (VERDICT r4 item
     # 6): documents + a replicated doc_id%5 subset (arriving 10 min later,
@@ -1821,6 +1955,24 @@ def local_parity() -> dict[str, tuple]:
         "stream_curate_twin": (
             _q_stream_curate_twin,
             _stream_curate_twin_oracle_sql(),
+        ),
+        # r5 training-data-pipeline additions (the driver registry is at
+        # its 50-row cap; these ride the same DuckDB oracle gate here).
+        "stratified_sample": (
+            _q_stratified_sample,
+            _stratified_sample_oracle_sql(),
+        ),
+        "decontaminate": (
+            _q_decontaminate,
+            _decontaminate_oracle_sql(),
+        ),
+        "winnow_overlap_pairs": (
+            _q_winnow_overlap_pairs,
+            _winnow_pairs_oracle_sql(),
+        ),
+        "corpus_token_stats": (
+            _q_corpus_token_stats,
+            _corpus_token_stats_oracle_sql(),
         ),
         "stream_dedup_twin": (
             _q_stream_dedup_twin,

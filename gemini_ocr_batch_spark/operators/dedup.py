@@ -330,6 +330,59 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
 
 
 # ---------------------------------------------------------------------------
+# Winnowing-overlap pairs (containment / partial-overlap candidates)
+# ---------------------------------------------------------------------------
+
+
+def winnow_overlap_pairs(docs: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text", min_common: int = 2,
+                         max_df: int | None = None) -> DataFrame:
+    """(doc_a, doc_b, n_common_fp) — pairs sharing ≥ ``min_common``
+    distinct winnowing fingerprints.
+
+    Whole-document minhash misses CONTAINMENT: a page that quotes three
+    paragraphs of a much longer page has near-zero Jaccard (the union
+    term swamps the intersection), yet it is exactly the partial-copy
+    case a training corpus must catch.  Winnowing fingerprints
+    (textstats.winnow_fingerprints; Schleimer/Wilkerson/Aiken, SIGMOD
+    2003) are position-local with a guarantee: any shared substring of
+    at least w+k-1 chars shares at least one fingerprint — so shared
+    fingerprints find overlap regardless of the length ratio.
+
+    ``max_df`` drops fingerprints present in more than that many
+    documents ("stop fingerprints": boilerplate sentences, license
+    headers) — the frequency cap that keeps the self-join linear-ish at
+    corpus scale, same discipline as the LSH band-bucket caps.  Only
+    (id, fingerprint) bigint pairs cross the shuffles; text never moves.
+    """
+    from gemini_ocr_batch_spark.operators.textstats import (
+        winnow_fingerprints,
+    )
+
+    fp = winnow_fingerprints(docs, id_col, text_col).select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array_distinct(F.col("fingerprints"))).alias("fp"),
+    )
+    if max_df is not None:
+        keep = (
+            fp.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= int(max_df))
+            .select("fp")
+        )
+        fp = fp.join(keep, "fp")
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common_fp"))
+        .filter(F.col("n_common_fp") >= int(min_common))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Duplicate components: pairs → clusters → keep-list
 # ---------------------------------------------------------------------------
 # The LSH/simhash operators above emit candidate PAIRS; production dedup

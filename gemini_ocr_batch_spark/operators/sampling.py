@@ -81,6 +81,55 @@ def assign_splits(df: DataFrame, key_col: str,
     return df.withColumn("split", expr)
 
 
+def stratified_sample(df: DataFrame, key_col: str, group_col: str,
+                      rates: dict[str, float], default_rate: float = 0.0,
+                      salt: str = "strat") -> DataFrame:
+    """Per-group deterministic sampling — the data-mixing primitive.
+
+    Training mixes are specified as per-source/per-language rates ("keep
+    100% of books, 30% of common-crawl, 5% of forums"); this applies a
+    different hash-bucket threshold per ``group_col`` value while keeping
+    every row's fate a pure function of its key.  Groups absent from
+    ``rates`` fall back to ``default_rate`` (0 = drop, the explicit-mix
+    posture).
+
+    Scale notes: still a pure column predicate — the per-group threshold
+    is a literal CASE chain over ``group_col``, so there is no join
+    against a rates table, no shuffle, and the filter sits directly on
+    the scan.  Content-stable across reruns and corpus growth like
+    :func:`hash_sample`.
+    """
+    for g, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for {g!r} must be in [0, 1], got {r}")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError(f"default_rate must be in [0, 1], got {default_rate}")
+    thr = None
+    for g, r in rates.items():
+        t = F.lit(int(round(r * _BUCKETS)))
+        cond = F.col(group_col) == g
+        thr = F.when(cond, t) if thr is None else thr.when(cond, t)
+    default_t = F.lit(int(round(default_rate * _BUCKETS)))
+    thr = default_t if thr is None else thr.otherwise(default_t)
+    return df.filter(_bucket(F.col(key_col), salt) < thr)
+
+
+def stratified_case_sql_duckdb(key_expr: str, group_expr: str,
+                               rates: dict[str, float],
+                               default_rate: float = 0.0,
+                               salt: str = "strat") -> str:
+    """DuckDB predicate twin of ``stratified_sample`` (same thresholds,
+    same evaluation order)."""
+    b = bucket_sql_duckdb(key_expr, salt)
+    parts = ["CASE"]
+    for g, r in rates.items():
+        parts.append(
+            f"WHEN {group_expr} = '{g}' THEN {int(round(r * _BUCKETS))}"
+        )
+    parts.append(f"ELSE {int(round(default_rate * _BUCKETS))} END")
+    return f"{b} < ({' '.join(parts)})"
+
+
 def split_case_sql_duckdb(key_expr: str,
                           weights: dict[str, float] | None = None,
                           salt: str = "split") -> str:

@@ -181,3 +181,53 @@ def winnow_fingerprints(docs: DataFrame, id_col: str = "doc_id",
     return spread_small_input(docs.select(id_col, text_col)).mapInPandas(
         batches, out_schema
     )
+
+
+# -- corpus-level token statistics -----------------------------------------
+
+
+def corpus_token_stats(docs: DataFrame, group_col: str = "lang",
+                       text_col: str = "text",
+                       exact: bool = True) -> DataFrame:
+    """Per-group token-count distribution: the corpus report every mixing
+    / budget decision starts from (n docs, total tokens, mean, p50/p90/p99
+    document length per language or source).
+
+    ``exact=True`` uses Spark's sort-based exact ``percentile`` — right
+    for bounded group cardinality (languages, sources) at report time and
+    replayable by DuckDB's ``quantile_cont`` (both linear-interpolate on
+    the sorted values).  At 10^12 rows per group flip ``exact=False``:
+    ``percentile_approx`` (KLL-sketch-style, mergeable map-side) never
+    concentrates a group's values on one reducer, at the cost of oracle
+    exactness — the scale/verification trade is the caller's, explicitly.
+
+    All quantiles are fixed-point x100 bigints so the value-hash is
+    engine-stable.
+    """
+    n_tok = F.size(tokens(text_col))
+
+    def pct(p: float, alias: str) -> F.Column:
+        if exact:
+            q = F.percentile(n_tok.cast("double"), F.lit(p))
+        else:
+            q = F.percentile_approx(
+                n_tok.cast("double"), F.lit(p), F.lit(10_000)
+            )
+        return (
+            F.floor(q * 100 + F.lit(0.5)).cast("bigint").alias(alias)
+        )
+
+    return (
+        docs.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(n_tok).cast("bigint").alias("total_tokens"),
+            F.floor(F.avg(n_tok) * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("mean_tokens_x100"),
+            pct(0.5, "p50_x100"),
+            pct(0.9, "p90_x100"),
+            pct(0.99, "p99_x100"),
+        )
+        .orderBy(group_col)
+    )
