@@ -16,6 +16,13 @@ Verbs:
             (corpus-prep pass: exact-dup canonical + quality floor +
              repetition ceiling; writes flags/ + corpus/, prints counts)
   status    --out <dir>          (checkpoint counts + lineage rollup)
+  decontaminate --extracted <run out dir> --benchmark <parquet> --out <dir>
+            [--ngram N] [--min-overlap K]
+            (eval-leakage sweep: n-gram collision flags per url; a
+             trainer anti-joins the flags table to exclude them)
+  stats     --extracted <run out dir> [--group-col content_kind]
+            [--out <parquet>]
+            (per-group token-count distribution of the extracted corpus)
 """
 
 from __future__ import annotations
@@ -64,6 +71,34 @@ def main(argv: list[str] | None = None) -> int:
                        help="top-2-gram repetition ceiling, x10000 "
                             "(config curation.max_rep_x10000)")
     cur_p.add_argument("--master", default=None)
+
+    dec_p = sub.add_parser(
+        "decontaminate",
+        help="flag extracted documents sharing n-grams with a benchmark "
+             "parquet (eval-leakage sweep)",
+    )
+    dec_p.add_argument("--extracted", required=True,
+                       help="a `run` --out dir (reads extracted_all)")
+    dec_p.add_argument("--benchmark", required=True,
+                       help="parquet of benchmark documents")
+    dec_p.add_argument("--benchmark-text-col", default="text")
+    dec_p.add_argument("--out", required=True)
+    dec_p.add_argument("--ngram", type=int, default=8)
+    dec_p.add_argument("--min-overlap", type=int, default=1)
+    dec_p.add_argument("--master", default=None)
+
+    stats_p = sub.add_parser(
+        "stats",
+        help="per-group token-count distribution of the extracted corpus",
+    )
+    stats_p.add_argument("--extracted", required=True)
+    stats_p.add_argument("--group-col", default="content_kind")
+    stats_p.add_argument("--out", default=None,
+                         help="optional parquet path for the stats table")
+    stats_p.add_argument("--approx", action="store_true",
+                         help="percentile_approx instead of exact "
+                              "percentiles (the 10^12-row posture)")
+    stats_p.add_argument("--master", default=None)
 
     st_p = sub.add_parser("status", help="checkpoint + lineage summary")
     st_p.add_argument("--config", default=None,
@@ -223,6 +258,43 @@ def main(argv: list[str] | None = None) -> int:
             max_rep_x10000=max_r,
         )
         print(json.dumps(stats))
+        return 0
+
+    if args.verb == "decontaminate":
+        from gemini_ocr_batch_spark.operators.decontam import (
+            run_decontamination_job,
+        )
+
+        spark = get_spark(master=args.master)
+        stats = run_decontamination_job(
+            spark,
+            args.extracted,
+            args.benchmark,
+            args.out,
+            n=args.ngram,
+            min_overlap=args.min_overlap,
+            bench_text_col=args.benchmark_text_col,
+        )
+        print(json.dumps(stats))
+        return 0
+
+    if args.verb == "stats":
+        from gemini_ocr_batch_spark.job import read_extracted
+        from gemini_ocr_batch_spark.operators.textstats import (
+            corpus_token_stats,
+        )
+
+        spark = get_spark(master=args.master)
+        rows = read_extracted(spark, args.extracted)
+        out = corpus_token_stats(
+            rows, args.group_col, text_col="extracted_text",
+            exact=not args.approx,
+        )
+        if args.out:
+            out.write.mode("overwrite").parquet(args.out)
+            out = spark.read.parquet(args.out).orderBy(args.group_col)
+        report = [r.asDict() for r in out.collect()]
+        print(json.dumps({"groups": report}))
         return 0
 
     if args.verb == "status":

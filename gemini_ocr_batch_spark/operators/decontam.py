@@ -54,6 +54,46 @@ def benchmark_shingle_set(benchmark: DataFrame, n: int = 8,
     )
 
 
+def run_decontamination_job(spark, extracted_dir: str, benchmark_path: str,
+                            out_dir: str, n: int = 8, min_overlap: int = 1,
+                            bench_text_col: str = "text") -> dict:
+    """The decontamination sweep over a finished extraction run: flag
+    every success row against a benchmark parquet, write the flags table
+    (url, n_overlap_grams, contaminated), return audit counts.
+
+    Scale notes: same posture as the curate job — the flags table carries
+    (url, bigint, bool) only; a trainer excludes contaminated urls with a
+    keys-only anti-join against it, so the corpus itself is never
+    rewritten here.  The audit counts are one 1-row collect.
+    """
+    import os
+
+    from gemini_ocr_batch_spark.job import read_extracted
+
+    rows = read_extracted(spark, extracted_dir)
+    bench = spark.read.parquet(benchmark_path)
+    flags = decontaminate(
+        rows, bench, n=n, min_overlap=min_overlap,
+        id_col="url", text_col="extracted_text",
+        bench_text_col=bench_text_col,
+    )
+    flags_path = os.path.join(out_dir, "decontam_flags")
+    flags.write.mode("overwrite").parquet(flags_path)
+    flags_saved = spark.read.parquet(flags_path)
+    audit = flags_saved.agg(
+        F.count(F.lit(1)).alias("input_rows"),
+        F.sum(F.col("contaminated").cast("int")).alias("contaminated"),
+        F.sum("n_overlap_grams").alias("total_overlap_grams"),
+    ).collect()[0]
+    return {
+        "input_rows": int(audit["input_rows"]),
+        "contaminated": int(audit["contaminated"] or 0),
+        "clean": int(audit["input_rows"]) - int(audit["contaminated"] or 0),
+        "total_overlap_grams": int(audit["total_overlap_grams"] or 0),
+        "flags_path": flags_path,
+    }
+
+
 def decontaminate(docs: DataFrame, benchmark: DataFrame, n: int = 8,
                   min_overlap: int = 1, id_col: str = "doc_id",
                   text_col: str = "text",

@@ -139,3 +139,46 @@ def test_corpus_token_stats_hand_computed(spark):
         for r in corpus_token_stats(df, "lang", exact=False).collect()
     }
     assert approx["de"]["total_tokens"] == 2
+
+
+def test_decontamination_job_end_to_end(spark, tmp_path):
+    """pages → extraction run → decontamination sweep against a benchmark
+    parquet: exact benchmark members are flagged, unrelated pages are
+    clean, and the flags table keys by url."""
+    import datetime as dt
+
+    from gemini_ocr_batch_spark.job import run_extraction_job
+    from gemini_ocr_batch_spark.operators.decontam import (
+        run_decontamination_job,
+    )
+    from gemini_ocr_batch_spark.schemas import PAGES_SCHEMA
+
+    ts = dt.datetime(2024, 1, 1)
+    leaked = ("alpha beta gamma delta epsilon zeta eta theta "
+              "iota kappa lambda mu")
+    clean = ("a completely different page about rivers and mountains "
+             "with many unique words in it today")
+    rows = [
+        ("https://leak.example/0", ts,
+         f"<html><body><p>{leaked}</p></body></html>".encode(), None, "en"),
+        ("https://clean.example/0", ts,
+         f"<html><body><p>{clean}</p></body></html>".encode(), None, "en"),
+    ]
+    pages = spark.createDataFrame(rows, PAGES_SCHEMA)
+    out = str(tmp_path / "run_out")
+    run_extraction_job(spark, pages, out, max_retries=1)
+
+    bench_path = str(tmp_path / "bench.parquet")
+    spark.createDataFrame([(leaked,)], "text string").write.parquet(bench_path)
+
+    stats = run_decontamination_job(
+        spark, out, bench_path, str(tmp_path / "dec")
+    )
+    assert stats["input_rows"] == 2
+    assert stats["contaminated"] == 1 and stats["clean"] == 1
+    flags = {
+        r["url"]: r["contaminated"]
+        for r in spark.read.parquet(stats["flags_path"]).collect()
+    }
+    assert flags["https://leak.example/0"] is True
+    assert flags["https://clean.example/0"] is False
