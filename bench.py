@@ -124,10 +124,17 @@ def main() -> int:
         "redact_pii",
         "repetition_score",
         "ann_bruteforce",
+        "decontaminate",
+        "stratified_sample",
     ]
     # NOTE vs BENCH_r03: redact_pii + repetition_score are NEW lines (r4
     # webtext operators) — the headline total gained their cost; compare
     # per-query lines round-over-round, not the raw total.
+    # NOTE vs BENCH_r04: decontaminate + stratified_sample are NEW lines
+    # (r5 training-pipeline operators, registered in local_parity()) —
+    # same caveat.
+    qs = dict(qs)
+    qs.update({k: fn for k, (fn, _sql) in entrymod.local_parity().items()})
     # Warm each query's plan once at sf0.001 (untimed): Janino codegen +
     # HotSpot JIT of the generated stages is a one-time constant
     # (~10-18 s for the minhash DAG, measured, input-size-independent —

@@ -87,3 +87,39 @@ def test_extract_prunes_blob_inputs(spark, pages_df):
                 s.removeprefix("struct<").removesuffix(">").split(",")}
         assert cols <= {"url", "warc_ts", "html"}, s
     assert "Exchange" in formatted_plan(df)  # the one deliberate (salt) shuffle
+
+
+def test_stratified_sample_is_filter_on_scan(spark, sf_dir):
+    """r5 mixing primitive: one Exchange total (the presentation orderBy
+    rangepartitioning), filter evaluated at the scan stage, and the scan
+    pruned to (doc_id, lang) — no rates-table join, no text read."""
+    from gemini_ocr_batch_spark.plans import formatted_plan
+
+    fn = em.local_parity()["stratified_sample"][0]
+    df = fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    # one Exchange SECTION (") Exchange" is the formatted-plan section
+    # header; the bare word also appears in the tree summary)
+    assert plan.count(") Exchange") == 1 and "rangepartitioning" in plan
+    assert all("text" not in s for s in read_schemas(df))
+
+
+def test_decontaminate_broadcasts_and_never_shuffles_text(spark, sf_dir):
+    """r5 decontamination: the benchmark shingle set is the broadcast
+    side, and NO exchange anywhere in the plan carries the text column —
+    only (id, shingle-hash) pairs and slim hit counts move."""
+    from gemini_ocr_batch_spark.plans import formatted_plan
+
+    fn = em.local_parity()["decontaminate"][0]
+    df = fn(spark, sf_dir)
+    assert uses_broadcast_join(df)
+    fp = formatted_plan(df)
+    exchange_sections = [
+        s
+        for s in fp.split("\n\n")
+        if s.lstrip().startswith("(") and ") Exchange" in s.splitlines()[0]
+    ]
+    assert exchange_sections, fp
+    for s in exchange_sections:
+        input_line = next(l for l in s.splitlines() if l.startswith("Input"))
+        assert "text#" not in input_line, s
