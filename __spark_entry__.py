@@ -1764,6 +1764,32 @@ def _corpus_token_stats_oracle_sql() -> str:
         """
 
 
+def _q_page_links(spark, sf_dir):
+    # r5 crawl-graph edge table over the synthesized mixed-kind crawl:
+    # every HTML page carries exactly the two known nav links (the
+    # boilerplate template), PDFs carry none — fully SQL-predictable.
+    from gemini_ocr_batch_spark.operators.links import page_links
+
+    pages = _synth_pages(spark, sf_dir)
+    return page_links(pages).orderBy("url", "link_no")
+
+
+_PAGE_LINKS_ORACLE = """
+            WITH html_pages AS (
+              SELECT 'https://synth.example.org/doc/' || doc_id ||
+                     '.html' AS url
+              FROM documents WHERE doc_id % 4 <> 0
+            ),
+            nav(link_no, href, anchor) AS (
+              VALUES (0, '/a', 'alpha nav link'),
+                     (1, '/b', 'beta nav link')
+            )
+            SELECT url, link_no, href, anchor
+            FROM html_pages CROSS JOIN nav
+            ORDER BY url, link_no
+        """
+
+
 def _q_stream_curate_twin(spark, sf_dir):
     # Batch-equivalence for the streaming curation pass (VERDICT r4 item
     # 6): documents + a replicated doc_id%5 subset (arriving 10 min later,
@@ -1973,6 +1999,10 @@ def local_parity() -> dict[str, tuple]:
         "corpus_token_stats": (
             _q_corpus_token_stats,
             _corpus_token_stats_oracle_sql(),
+        ),
+        "page_links": (
+            _q_page_links,
+            _PAGE_LINKS_ORACLE,
         ),
         "stream_dedup_twin": (
             _q_stream_dedup_twin,

@@ -23,6 +23,8 @@ Verbs:
   stats     --extracted <run out dir> [--group-col content_kind]
             [--out <parquet>]
             (per-group token-count distribution of the extracted corpus)
+  links     --pages <parquet> --out <dir>
+            (crawl-graph pass: outlink edge table + domain-pair rollup)
 """
 
 from __future__ import annotations
@@ -99,6 +101,15 @@ def main(argv: list[str] | None = None) -> int:
                          help="percentile_approx instead of exact "
                               "percentiles (the 10^12-row posture)")
     stats_p.add_argument("--master", default=None)
+
+    lk_p = sub.add_parser(
+        "links",
+        help="extract the outlink edge table + domain-pair rollup from a "
+             "pages parquet",
+    )
+    lk_p.add_argument("--pages", required=True)
+    lk_p.add_argument("--out", required=True)
+    lk_p.add_argument("--master", default=None)
 
     st_p = sub.add_parser("status", help="checkpoint + lineage summary")
     st_p.add_argument("--config", default=None,
@@ -295,6 +306,39 @@ def main(argv: list[str] | None = None) -> int:
             out = spark.read.parquet(args.out).orderBy(args.group_col)
         report = [r.asDict() for r in out.collect()]
         print(json.dumps({"groups": report}))
+        return 0
+
+    if args.verb == "links":
+        import os
+
+        from pyspark.sql import functions as F
+
+        from gemini_ocr_batch_spark.operators.links import (
+            domain_link_stats,
+            page_links,
+        )
+
+        spark = get_spark(master=args.master)
+        pages = spark.read.parquet(args.pages)
+        edges_path = os.path.join(args.out, "edges")
+        page_links(pages).write.mode("overwrite").parquet(edges_path)
+        edges = spark.read.parquet(edges_path)
+        domains_path = os.path.join(args.out, "domain_pairs")
+        domain_link_stats(edges).write.mode("overwrite").parquet(domains_path)
+        audit = edges.agg(
+            F.count(F.lit(1)).alias("n_edges"),
+            F.count_distinct("url").alias("n_pages_with_links"),
+        ).collect()[0]
+        print(
+            json.dumps(
+                {
+                    "n_edges": int(audit["n_edges"]),
+                    "n_pages_with_links": int(audit["n_pages_with_links"]),
+                    "edges_path": edges_path,
+                    "domain_pairs_path": domains_path,
+                }
+            )
+        )
         return 0
 
     if args.verb == "status":

@@ -1,0 +1,75 @@
+"""Outlink kernel + crawl-graph operators (r5)."""
+
+from __future__ import annotations
+
+from gemini_ocr_batch_spark.kernels.links import extract_links
+from gemini_ocr_batch_spark.operators.links import (
+    domain_link_stats,
+    page_links,
+)
+
+
+def test_extract_links_basic_order_and_text():
+    html = (
+        '<html><body><a href="/one">First <b>bold</b> link</a>'
+        '<p>noise</p><a href="https://x.example/p?q=1">second</a>'
+        "<a>no href dropped</a></body></html>"
+    )
+    assert extract_links(html) == [
+        ("/one", "First bold link"),
+        ("https://x.example/p?q=1", "second"),
+    ]
+
+
+def test_extract_links_skips_script_and_entities():
+    html = (
+        '<script>var a = \'<a href="/fake">x</a>\';</script>'
+        '<a href="/r&amp;d">R&amp;D</a>'
+    )
+    assert extract_links(html) == [("/r&d", "R&D")]
+
+
+def test_extract_links_nested_and_unterminated():
+    # inner anchor's text belongs to the innermost; unterminated anchor
+    # flushes at EOF
+    html = '<a href="/outer">out <a href="/inner">in</a><a href="/tail">t'
+    links = extract_links(html)
+    assert ("/inner", "in") in links
+    assert ("/tail", "t") in links
+    assert ("/outer", "out") in links
+
+
+def test_extract_links_never_raises_on_junk():
+    for junk in ("", "<a href=", "<<<>>>", "\x00\x01<a href='/x'>y</a>"):
+        assert isinstance(extract_links(junk), list)
+
+
+def test_page_links_skips_non_html(spark):
+    rows = [
+        ("https://a.example/1.html",
+         b'<html><body><a href="/x">x</a></body></html>'),
+        ("https://a.example/2.pdf", b"%PDF-1.4 not html"),
+        ("https://a.example/3.html", None),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    got = page_links(df).collect()
+    assert [(r["url"], r["link_no"], r["href"], r["anchor"])
+            for r in got] == [("https://a.example/1.html", 0, "/x", "x")]
+
+
+def test_domain_link_stats_resolves_relative_to_src(spark):
+    rows = [
+        ("https://a.example/1.html", 0, "/local", "l"),
+        ("https://a.example/1.html", 1, "https://b.example/x", "b"),
+        ("https://a.example/2.html", 0, "https://b.example/y", "b2"),
+        ("https://a.example/2.html", 1, "https://b.example/y", "dup"),
+    ]
+    links = spark.createDataFrame(
+        rows, "url string, link_no int, href string, anchor string"
+    )
+    got = {
+        (r["src_domain"], r["dst_domain"]): (r["n_links"], r["n_unique_hrefs"])
+        for r in domain_link_stats(links).collect()
+    }
+    assert got[("a.example", "a.example")] == (1, 1)
+    assert got[("a.example", "b.example")] == (3, 2)
