@@ -73,3 +73,27 @@ def test_domain_link_stats_resolves_relative_to_src(spark):
     }
     assert got[("a.example", "a.example")] == (1, 1)
     assert got[("a.example", "b.example")] == (3, 2)
+
+
+def test_extract_links_fuzz_never_raises_and_respects_contract():
+    """Property fuzz: on arbitrary tag-soup, extract_links returns a list
+    of (non-empty href, normalized anchor) pairs and never raises."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    frag = st.sampled_from([
+        '<a href="/x">', "<a>", "</a>", '<a href="">', "<a href='y'>",
+        "text", "<script>", "</script>", "<p>", "&amp;", "<", ">", '"',
+        "<a href=/bare>", "<!-- c -->", "\x00", "</p>", "<a href",
+    ])
+    soup = st.lists(frag, min_size=0, max_size=30).map("".join)
+
+    @settings(max_examples=200, deadline=None)
+    @given(soup)
+    def run(html):
+        links = extract_links(html)
+        for href, anchor in links:
+            assert href  # hrefless anchors are dropped
+            assert anchor == " ".join(anchor.split())  # normalized
+
+    run()

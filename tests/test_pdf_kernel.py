@@ -211,3 +211,35 @@ def test_pdf_stream_scan_matches_old_regex_semantics():
         assert list(_iter_stream_bodies(blob)) == [
             m.group(1) for m in old.finditer(blob)
         ], blob
+
+
+def test_synth_pdf_escape_roundtrip():
+    """The driver's synthesized PDF pages escape text PDF-style before
+    embedding it in a literal string (__spark_entry__._synth_pages); the
+    kernel must unescape back to the original for ANY text, so the oracle
+    can always predict extracted == text + footer."""
+    import re
+
+    from gemini_ocr_batch_spark.kernels.dispatch import extract_document
+
+    cases = [
+        "plain words only",
+        "with (parens) inside",
+        "nested ((deep)) and )unbalanced(",
+        "a back\\slash and a trailing one \\",
+        "mixed \\(escape-looking\\) source text",
+    ]
+    for text in cases:
+        escaped = re.sub(r"([\\()])", r"\\\1", text)
+        content = (
+            "BT /F1 12 Tf 1 0 0 1 72.0 720.0 Tm (" + escaped + ") Tj "
+            "1 0 0 1 72.0 706.0 Tm (synthetic pdf page 9) Tj ET"
+        )
+        blob = (
+            "%PDF-1.4\n1 0 obj << /Length " + str(len(content))
+            + " >>\nstream\n" + content
+            + "\nendstream\nendobj\ntrailer << /Root 1 0 R >>\n%%EOF\n"
+        ).encode()
+        got, spans, kind, err = extract_document(blob, "https://x/9.pdf")
+        assert err is None and kind == "pdf"
+        assert got == text + "\nsynthetic pdf page 9", text
