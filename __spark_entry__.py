@@ -1764,6 +1764,52 @@ def _corpus_token_stats_oracle_sql() -> str:
         """
 
 
+def _q_latest_snapshot(spark, sf_dir):
+    # r5 crawl revisit resolution: 1-3 synthesized captures per url
+    # (version-stamped text, epoch-second ts) — the operator must keep
+    # exactly the newest and count the collapsed snapshots.
+    from gemini_ocr_batch_spark.operators.webtext import latest_snapshot
+
+    docs = _t(spark, sf_dir, "documents")
+    snaps = docs.select(
+        F.concat(
+            F.lit("https://synth.example.org/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.explode(
+            F.sequence(F.lit(0), (F.col("doc_id") % 3).cast("int"))
+        ).alias("k"),
+        "text",
+    ).select(
+        "url",
+        (F.lit(1704067200).cast("bigint")
+         + F.col("k").cast("bigint") * 3600).alias("warc_ts"),
+        F.concat(
+            F.lit("v"), F.col("k").cast("string"), F.lit(" "), F.col("text")
+        ).alias("text"),
+    )
+    out = latest_snapshot(snaps)
+    return out.select(
+        "url",
+        "n_snapshots",
+        F.split(F.col("text"), " ").getItem(0).alias("version"),
+    ).orderBy("url")
+
+
+_LATEST_SNAPSHOT_ORACLE = """
+            WITH snaps AS (
+              -- generate_series cannot take a lateral column bound in
+              -- DuckDB: cross-join the fixed 0-2 range and filter
+              SELECT 'https://synth.example.org/doc/' || doc_id AS url, k
+              FROM documents, generate_series(0, 2) AS g(k)
+              WHERE k <= doc_id % 3
+            )
+            SELECT url, CAST(count(*) AS INT) AS n_snapshots,
+                   'v' || CAST(max(k) AS VARCHAR) AS version
+            FROM snaps GROUP BY url ORDER BY url
+        """
+
+
 def _q_page_links(spark, sf_dir):
     # r5 crawl-graph edge table over the synthesized mixed-kind crawl:
     # every HTML page carries exactly the two known nav links (the
@@ -2003,6 +2049,10 @@ def local_parity() -> dict[str, tuple]:
         "page_links": (
             _q_page_links,
             _PAGE_LINKS_ORACLE,
+        ),
+        "latest_snapshot": (
+            _q_latest_snapshot,
+            _LATEST_SNAPSHOT_ORACLE,
         ),
         "stream_dedup_twin": (
             _q_stream_dedup_twin,

@@ -18,7 +18,7 @@ __spark_entry__.local_parity()).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from gemini_ocr_batch_spark.functions.hashing import shingles, tokens
@@ -86,6 +86,39 @@ def canonicalize_urls(pages: DataFrame, url_col: str = "url") -> DataFrame:
     return pages.select(
         F.col(url_col), canonical_url_col(url_col).alias("url_canonical")
     ).orderBy(url_col)
+
+
+def latest_snapshot(pages: DataFrame, key_col: str = "url",
+                    ts_col: str = "warc_ts",
+                    canonicalize: bool = False) -> DataFrame:
+    """Crawl revisit resolution: one row per key — the most recent
+    snapshot — plus ``n_snapshots`` (how many captures were collapsed).
+
+    A crawl archive carries the same url at many capture timestamps;
+    every corpus pass wants exactly one.  ``canonicalize=True`` first
+    rewrites the key with :func:`canonical_url_col`, so tracking-param /
+    host-case variants of one page also collapse.
+
+    Scale notes: a single ``row_number`` window = ONE hash shuffle on
+    the key, streaming frame (no per-group buffering beyond the frame
+    row).  Deliberately not ``groupBy(max(ts)) + self-join`` — that
+    shuffles the table twice and re-reads it.  Ties on (key, ts) break
+    deterministically by the content digest so reruns and oracles agree.
+    """
+    key = canonical_url_col(F.col(key_col)) if canonicalize else F.col(key_col)
+    keyed = pages.withColumn("__key", key)
+    w = Window.partitionBy("__key").orderBy(
+        F.desc(ts_col), F.md5(F.coalesce(F.col("text"), F.lit("")))
+    )
+    return (
+        keyed.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n_snapshots",
+            F.count(F.lit(1)).over(Window.partitionBy("__key")).cast("int"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn", "__key")
+    )
 
 
 def repetition_score(docs: DataFrame, id_col: str = "doc_id",

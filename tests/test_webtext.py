@@ -267,3 +267,47 @@ def test_line_dedup_fuzz_vs_python_oracle(spark):
             for r in line_dedup(df).collect()
         }
         assert got == want, rows
+
+
+def test_latest_snapshot_revisit_resolution(spark):
+    from gemini_ocr_batch_spark.operators.webtext import latest_snapshot
+
+    rows = [
+        ("https://a.example/p", 100, "old"),
+        ("https://a.example/p", 300, "newest"),
+        ("https://a.example/p", 200, "mid"),
+        ("https://b.example/q", 50, "only"),
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts long, text string")
+    got = {r["url"]: r for r in latest_snapshot(df).collect()}
+    assert got["https://a.example/p"]["text"] == "newest"
+    assert got["https://a.example/p"]["n_snapshots"] == 3
+    assert got["https://b.example/q"]["n_snapshots"] == 1
+    # deterministic tie-break: same ts twice -> smaller md5(text) wins,
+    # stable across reruns and partitionings
+    ties = spark.createDataFrame(
+        [("u", 1, "aaa"), ("u", 1, "bbb")],
+        "url string, warc_ts long, text string",
+    )
+    import hashlib
+
+    expect = min("aaa", "bbb", key=lambda t: hashlib.md5(t.encode()).hexdigest())
+    assert latest_snapshot(ties).collect()[0]["text"] == expect
+    assert (
+        latest_snapshot(ties.repartition(5)).collect()[0]["text"] == expect
+    )
+
+
+def test_latest_snapshot_canonicalize_collapses_variants(spark):
+    from gemini_ocr_batch_spark.operators.webtext import latest_snapshot
+
+    rows = [
+        ("https://A.example/p?utm_source=x", 1, "tracked"),
+        ("https://a.example/p", 2, "bare"),
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts long, text string")
+    plain = latest_snapshot(df).collect()
+    assert len(plain) == 2  # distinct raw urls: nothing collapses
+    canon = latest_snapshot(df, canonicalize=True).collect()
+    assert len(canon) == 1
+    assert canon[0]["text"] == "bare" and canon[0]["n_snapshots"] == 2
