@@ -1365,18 +1365,25 @@ def _winnow_oracle_sql() -> str:
         """
 
 
-def _winnow_pairs_oracle_sql(min_common: int = 2) -> str:
+def _winnow_pairs_oracle_sql(min_common: int = 2, max_df: int = 25) -> str:
     """DuckDB twin of dedup.winnow_overlap_pairs: distinct kept
-    fingerprints per document, self-joined, counted per pair."""
+    fingerprints per document, stop-fingerprint df cap, self-joined,
+    counted per pair."""
     return f"""
             WITH {_winnow_kept_ctes()},
             fps AS (
               SELECT DISTINCT doc_id AS doc, m AS fp
               FROM kept WHERE pm IS NULL OR m <> pm
+            ),
+            keepfp AS (
+              SELECT fp FROM fps GROUP BY fp HAVING count(*) <= {max_df}
+            ),
+            capped AS (
+              SELECT doc, fp FROM fps JOIN keepfp USING (fp)
             )
             SELECT a.doc AS doc_a, b.doc AS doc_b,
                    count(*) AS n_common_fp
-            FROM fps a JOIN fps b USING (fp)
+            FROM capped a JOIN capped b USING (fp)
             WHERE a.doc < b.doc
             GROUP BY 1, 2
             HAVING count(*) >= {min_common}
@@ -1730,11 +1737,16 @@ def _decontaminate_oracle_sql(n: int = 8) -> str:
 
 
 def _q_winnow_overlap_pairs(spark, sf_dir):
+    # max_df is the production posture: without it the synthetic corpus's
+    # shared vocabulary connects ~every pair (122k pairs from 500 docs at
+    # sf0.001 — the exact quadratic blowup the stop-fingerprint cap
+    # exists to prevent).  An ABSOLUTE cap (a fingerprint in >25
+    # documents is boilerplate) keeps the Spark query and the static
+    # oracle literal identical at every sf.
     from gemini_ocr_batch_spark.operators.dedup import winnow_overlap_pairs
 
-    return winnow_overlap_pairs(
-        _t(spark, sf_dir, "documents"), min_common=2
-    )
+    docs = _t(spark, sf_dir, "documents")
+    return winnow_overlap_pairs(docs, min_common=2, max_df=25)
 
 
 def _q_corpus_token_stats(spark, sf_dir):
