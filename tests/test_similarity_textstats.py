@@ -296,3 +296,42 @@ def test_ivf_index_probe_is_partition_pruned(spark, sf_dir, tmp_path):
     assert [r["id"] for r in out.collect()] == [
         r["id"] for r in in_mem.collect()
     ]
+
+
+def test_resize_assets_plumbing(spark):
+    from gemini_ocr_batch_spark.operators.multimodal import resize_assets
+
+    rows = [(1, b"\xff\xd8\xff fake jpeg bytes"), (2, b""), (3, None)]
+    df = spark.createDataFrame(rows, "asset_id long, asset binary")
+    got = {r["asset_id"]: r for r in
+           resize_assets(df, 320, 240).collect()}
+    assert set(got) == {1, 2, 3}
+    for r in got.values():
+        assert 1 <= r["out_w"] <= 320 and 1 <= r["out_h"] <= 240
+        assert len(r["resized"]) == r["out_w"] + r["out_h"]
+    # deterministic: same content -> same placeholder
+    again = {r["asset_id"]: bytes(r["resized"])
+             for r in resize_assets(df, 320, 240).collect()}
+    assert {k: bytes(v["resized"]) for k, v in got.items()} == again
+
+
+def test_extract_features_feeds_ann_end_to_end(spark):
+    """embed → search: the digest-derived fake embeddings are unit
+    vectors, identical content embeds identically, and the output drops
+    straight into the ANN operators (self is its own nearest)."""
+    import math
+
+    from gemini_ocr_batch_spark.operators.multimodal import extract_features
+
+    rows = [(i, f"document number {i} content".encode()) for i in range(20)]
+    rows.append((100, rows[0][1]))  # exact duplicate content of asset 0
+    df = spark.createDataFrame(rows, "asset_id long, asset binary")
+    emb = extract_features(df, dim=16)
+    got = {r["asset_id"]: list(r["embedding"]) for r in emb.collect()}
+    assert got[100] == got[0]  # content-addressed
+    for v in got.values():
+        assert abs(math.sqrt(sum(x * x for x in v)) - 1.0) < 1e-5
+    top = brute_force_topk(
+        emb.withColumnRenamed("asset_id", "vec_id"), got[5], k=3,
+    ).collect()
+    assert top[0]["vec_id"] == 5
