@@ -125,6 +125,13 @@ def _unescape_pdf_string(raw: bytes) -> str:
     return out.decode("latin-1")
 
 
+# TJ kerning threshold (thousandths of a text-space unit): a negative
+# inter-segment adjustment at or beyond this magnitude is an author-drawn
+# WORD GAP, not letter kerning — the pdfminer-style heuristic. Real PDFs
+# routinely encode spaces this way instead of a ' ' glyph.
+TJ_WORD_GAP = 180.0
+
+
 def _iter_text_items(content: bytes):
     """Yield (x, y, text) for every shown string in the content stream."""
     for body in _iter_bt_bodies(content):
@@ -132,17 +139,25 @@ def _iter_text_items(content: bytes):
         leading = 12.0
         nums: list[float] = []
         strings: list[str] = []
+        arr_segments: list[tuple[str, object]] = []
         in_array = False
         for m in _TOKEN_RE.finditer(body):
             kind = m.lastgroup
             if kind == "num":
-                nums.append(float(m.group("num")))
+                v = float(m.group("num"))
+                nums.append(v)
+                if in_array:
+                    arr_segments.append(("n", v))
             elif kind == "str":
-                strings.append(_unescape_pdf_string(m.group("str")[1:-1]))
+                s = _unescape_pdf_string(m.group("str")[1:-1])
+                strings.append(s)
+                if in_array:
+                    arr_segments.append(("s", s))
             elif kind == "arr":
                 in_array = m.group("arr") == b"["
                 if in_array:
                     strings.clear()
+                    arr_segments = []
             elif kind == "name":
                 continue
             elif kind == "op":
@@ -167,9 +182,23 @@ def _iter_text_items(content: bytes):
                     y -= leading
                     yield (x, y, strings[-1])
                 elif op == b"TJ" and strings:
-                    yield (x, y, "".join(strings))
+                    if arr_segments:
+                        parts: list[str] = []
+                        gap = False
+                        for seg_kind, seg_val in arr_segments:
+                            if seg_kind == "s":
+                                if gap and parts:
+                                    parts.append(" ")
+                                parts.append(seg_val)
+                                gap = False
+                            elif seg_val <= -TJ_WORD_GAP:
+                                gap = True
+                        yield (x, y, "".join(parts))
+                    else:
+                        yield (x, y, "".join(strings))
                 nums.clear()
                 strings.clear()
+                arr_segments = []
                 in_array = False
 
 

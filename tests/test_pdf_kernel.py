@@ -243,3 +243,20 @@ def test_synth_pdf_escape_roundtrip():
         got, spans, kind, err = extract_document(blob, "https://x/9.pdf")
         assert err is None and kind == "pdf"
         assert got == text + "\nsynthetic pdf page 9", text
+
+
+def test_tj_kerning_word_gaps():
+    """A TJ array's large negative adjustments are author-drawn word
+    gaps (real PDFs encode spaces this way instead of a ' ' glyph);
+    small kerning tweaks must NOT split words."""
+    content = (
+        b"BT /F1 12 Tf 72 700 Td "
+        b"[(Hel) -20 (lo) -250 (world) -179 (!)] TJ ET"
+    )
+    pdf = (
+        b"%PDF-1.4\n4 0 obj << /Length " + str(len(content)).encode()
+        + b" >>\nstream\n" + content + b"\nendstream\nendobj\n%%EOF\n"
+    )
+    text, _ = extract_pdf(pdf)
+    # -20 and -179 are kerning (below the 180 threshold); -250 is a gap
+    assert text == "Hello world!"
