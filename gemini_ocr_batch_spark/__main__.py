@@ -79,14 +79,23 @@ def main(argv: list[str] | None = None) -> int:
         help="flag extracted documents sharing n-grams with a benchmark "
              "parquet (eval-leakage sweep)",
     )
-    dec_p.add_argument("--extracted", required=True,
-                       help="a `run` --out dir (reads extracted_all)")
-    dec_p.add_argument("--benchmark", required=True,
-                       help="parquet of benchmark documents")
+    dec_p.add_argument("--config", default=None,
+                       help="same YAML as `run`; flags override "
+                            "decontam.* / paths.out values")
+    dec_p.add_argument("--extracted", default=None,
+                       help="a `run` --out dir (reads extracted_all); "
+                            "defaults to config paths.out")
+    dec_p.add_argument("--benchmark", default=None,
+                       help="parquet of benchmark documents "
+                            "(config decontam.benchmark_path)")
     dec_p.add_argument("--benchmark-text-col", default="text")
-    dec_p.add_argument("--out", required=True)
-    dec_p.add_argument("--ngram", type=int, default=8)
-    dec_p.add_argument("--min-overlap", type=int, default=1)
+    dec_p.add_argument("--out", default=None,
+                       help="defaults to config decontam.flags_out")
+    dec_p.add_argument("--ngram", type=int, default=None,
+                       help="word n-gram length (config decontam.ngram)")
+    dec_p.add_argument("--min-overlap", type=int, default=None,
+                       help="grams shared to flag (config "
+                            "decontam.min_overlap)")
     dec_p.add_argument("--master", default=None)
 
     stats_p = sub.add_parser(
@@ -272,18 +281,59 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.verb == "decontaminate":
+        from gemini_ocr_batch_spark.config import (
+            ConfigError,
+            load_config,
+            load_dotenv,
+            resolve_config_path,
+        )
         from gemini_ocr_batch_spark.operators.decontam import (
             run_decontamination_job,
         )
 
-        spark = get_spark(master=args.master)
+        load_dotenv(".env")  # same resolution order as `run`
+        cfg = None
+        cfg_path = resolve_config_path(args.config)
+        if cfg_path:
+            try:
+                cfg = load_config(cfg_path)
+            except ConfigError as exc:
+                print(str(exc), file=sys.stderr)
+                return 2
+        extracted = args.extracted or (cfg.paths.out if cfg else None)
+        benchmark = args.benchmark or (
+            cfg.decontam.benchmark_path if cfg else None
+        )
+        out_dir = args.out or (cfg.decontam.flags_out if cfg else None)
+        missing = [n for n, v in (("--extracted", extracted),
+                                  ("--benchmark", benchmark),
+                                  ("--out", out_dir)) if not v]
+        if missing:
+            print(
+                f"missing {' and '.join(missing)} (flag or config "
+                "paths.out / decontam.*)",
+                file=sys.stderr,
+            )
+            return 2
+        ngram = (
+            args.ngram if args.ngram is not None
+            else (cfg.decontam.ngram if cfg else 8)
+        )
+        min_overlap = (
+            args.min_overlap if args.min_overlap is not None
+            else (cfg.decontam.min_overlap if cfg else 1)
+        )
+        spark = get_spark(
+            master=args.master or (cfg.spark.master if cfg else None),
+            shuffle_partitions=(cfg.spark.shuffle_partitions if cfg else None),
+        )
         stats = run_decontamination_job(
             spark,
-            args.extracted,
-            args.benchmark,
-            args.out,
-            n=args.ngram,
-            min_overlap=args.min_overlap,
+            extracted,
+            benchmark,
+            out_dir,
+            n=ngram,
+            min_overlap=min_overlap,
             bench_text_col=args.benchmark_text_col,
         )
         print(json.dumps(stats))

@@ -93,6 +93,15 @@ class CurationConfig:
 
 
 @dataclass(frozen=True)
+class DecontamConfig:
+    # webtext-scale eval-leakage sweep — operators/decontam defaults
+    ngram: int = 8
+    min_overlap: int = 1
+    benchmark_path: str | None = None
+    flags_out: str | None = None
+
+
+@dataclass(frozen=True)
 class AppConfig:
     paths: PathsConfig
     filters: FiltersConfig = field(default_factory=FiltersConfig)
@@ -100,6 +109,7 @@ class AppConfig:
     checkpoint: CheckpointConfig = field(default_factory=CheckpointConfig)
     spark: SparkConfig = field(default_factory=SparkConfig)
     curation: CurationConfig = field(default_factory=CurationConfig)
+    decontam: DecontamConfig = field(default_factory=DecontamConfig)
 
 
 # ---------------------------------------------------------------------------
@@ -282,13 +292,31 @@ def validate_config(raw: dict, source: str = "<in-memory>") -> AppConfig:
         curated_out=curated_out,
     )
 
+    dec_sec = _section(raw, "decontam", ctx)
+    dec_strs: dict[str, str | None] = {}
+    for key in ("benchmark_path", "flags_out"):
+        val = dec_sec.get(key)
+        if val is not None and (
+            not isinstance(val, str) or not val.strip()
+        ):
+            ctx.err(f"decontam.{key}", "must be a non-empty string")
+            val = None
+        dec_strs[key] = val
+    decontam = DecontamConfig(
+        ngram=_opt_int(dec_sec, "decontam", "ngram", 8, ctx, ge=2),
+        min_overlap=_opt_int(dec_sec, "decontam", "min_overlap", 1, ctx, ge=1),
+        benchmark_path=dec_strs["benchmark_path"],
+        flags_out=dec_strs["flags_out"],
+    )
+
     if ctx.errors:
         raise ConfigError(
             f"Config validation failed for {source}:\n"
             + "\n".join(ctx.errors)
         )
     return AppConfig(paths=paths, filters=filters, execution=execution,
-                     checkpoint=checkpoint, spark=spark, curation=curation)
+                     checkpoint=checkpoint, spark=spark, curation=curation,
+                     decontam=decontam)
 
 
 def load_config(path: str) -> AppConfig:

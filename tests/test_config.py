@@ -233,3 +233,32 @@ def test_curation_section_defaults_and_validation():
     msg = str(exc.value)
     assert "curation.min_quality_x10000" in msg
     assert "curation.curated_out" in msg
+
+
+def test_decontam_section_defaults_and_validation():
+    base = {"paths": {"pages": "/p", "out": "/o"}}
+    cfg = validate_config(base)
+    assert cfg.decontam.ngram == 8
+    assert cfg.decontam.min_overlap == 1
+    assert cfg.decontam.benchmark_path is None
+    assert cfg.decontam.flags_out is None
+
+    cfg = validate_config(
+        {**base, "decontam": {"ngram": 13, "min_overlap": 3,
+                              "benchmark_path": "/b.parquet",
+                              "flags_out": "/dec"}}
+    )
+    assert cfg.decontam.ngram == 13
+    assert cfg.decontam.min_overlap == 3
+    assert cfg.decontam.benchmark_path == "/b.parquet"
+    assert cfg.decontam.flags_out == "/dec"
+
+    import pytest
+
+    with pytest.raises(ConfigError) as exc:
+        validate_config(
+            {**base, "decontam": {"ngram": 1, "benchmark_path": ""}}
+        )
+    msg = str(exc.value)
+    assert "decontam.ngram" in msg
+    assert "decontam.benchmark_path" in msg
