@@ -1848,6 +1848,27 @@ _PAGE_LINKS_ORACLE = """
         """
 
 
+def _q_page_metadata(spark, sf_dir):
+    # r5 head-metadata extraction over the synthesized crawl: HTML pages
+    # carry the constant template title 't' (no meta description, no
+    # canonical link); PDFs yield a NULL row — 1:1 with the input.
+    from gemini_ocr_batch_spark.operators.links import page_metadata
+
+    pages = _synth_pages(spark, sf_dir)
+    return page_metadata(pages).orderBy("url")
+
+
+_PAGE_METADATA_ORACLE = """
+            SELECT 'https://synth.example.org/doc/' || doc_id ||
+                     CASE WHEN doc_id % 4 = 0 THEN '.pdf'
+                          ELSE '.html' END AS url,
+                   CASE WHEN doc_id % 4 = 0 THEN NULL ELSE 't' END AS title,
+                   CAST(NULL AS VARCHAR) AS meta_description,
+                   CAST(NULL AS VARCHAR) AS canonical_url
+            FROM documents ORDER BY url
+        """
+
+
 def _q_stream_curate_twin(spark, sf_dir):
     # Batch-equivalence for the streaming curation pass (VERDICT r4 item
     # 6): documents + a replicated doc_id%5 subset (arriving 10 min later,
@@ -2065,6 +2086,10 @@ def local_parity() -> dict[str, tuple]:
         "latest_snapshot": (
             _q_latest_snapshot,
             _LATEST_SNAPSHOT_ORACLE,
+        ),
+        "page_metadata": (
+            _q_page_metadata,
+            _PAGE_METADATA_ORACLE,
         ),
         "stream_dedup_twin": (
             _q_stream_dedup_twin,

@@ -76,3 +76,58 @@ def extract_links(html_text: str) -> list[tuple[str, str]]:
     except Exception:  # noqa: BLE001 - crawl bytes: keep what parsed
         pass
     return p.links
+
+
+class _MetaParser(HTMLParser):
+    """<head> metadata: title text, meta description, canonical link."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.title_parts: list[str] = []
+        self.meta_description: str | None = None
+        self.canonical_url: str | None = None
+        self._in_title = False
+        self._skip_depth = 0
+
+    def handle_starttag(self, tag: str, attrs) -> None:  # noqa: ANN001
+        if tag in _SKIP_TAGS:
+            self._skip_depth += 1
+            return
+        if self._skip_depth:
+            return
+        if tag == "title":
+            self._in_title = True
+            return
+        a = {k: (v or "") for k, v in attrs}
+        if tag == "meta" and a.get("name", "").lower() == "description":
+            if self.meta_description is None:  # first wins, like browsers
+                self.meta_description = a.get("content", "")
+        elif tag == "link" and "canonical" in a.get("rel", "").lower():
+            if self.canonical_url is None and a.get("href"):
+                self.canonical_url = a["href"]
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in _SKIP_TAGS:
+            self._skip_depth = max(0, self._skip_depth - 1)
+            return
+        if tag == "title":
+            self._in_title = False
+
+    def handle_data(self, data: str) -> None:
+        if self._in_title and not self._skip_depth and data:
+            self.title_parts.append(data)
+
+
+def extract_page_meta(
+    html_text: str,
+) -> tuple[str | None, str | None, str | None]:
+    """HTML → (title, meta_description, canonical_url); whitespace-
+    normalized title, None for absent fields, never raises."""
+    p = _MetaParser()
+    try:
+        p.feed(html_text)
+        p.close()
+    except Exception:  # noqa: BLE001 - crawl bytes: keep what parsed
+        pass
+    title = " ".join("".join(p.title_parts).split()) or None
+    return title, p.meta_description, p.canonical_url

@@ -70,6 +70,59 @@ def page_links(pages: DataFrame, url_col: str = "url",
     )
 
 
+def page_metadata(pages: DataFrame, url_col: str = "url",
+                  html_col: str = "html") -> DataFrame:
+    """(url, title, meta_description, canonical_url) — head metadata per
+    HTML page (NULLs for absent fields; non-HTML blobs yield a row of
+    NULLs so the output stays 1:1 with the input for joins).
+
+    Title and meta description are standard corpus columns (dedup keys,
+    quality features, search snippets); the canonical link feeds the
+    same revisit-resolution path as webtext.canonicalize_urls.
+    """
+    from gemini_ocr_batch_spark.kernels.dispatch import (
+        _decode_html,
+        sniff_kind,
+    )
+    from gemini_ocr_batch_spark.kernels.links import extract_page_meta
+
+    schema = (
+        f"{url_col} string, title string, meta_description string, "
+        "canonical_url string"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            urls, titles, descs, canons = [], [], [], []
+            for url, blob in zip(pdf[url_col], pdf[html_col]):
+                title = desc = canon = None
+                if blob is not None and len(blob) > 0:
+                    b = bytes(blob)
+                    if sniff_kind(b, url) == "html":
+                        try:
+                            title, desc, canon = extract_page_meta(
+                                _decode_html(b)
+                            )
+                        except ValueError:
+                            pass
+                urls.append(url)
+                titles.append(title)
+                descs.append(desc)
+                canons.append(canon)
+            yield pd.DataFrame(
+                {
+                    url_col: pd.Series(urls, dtype="object"),
+                    "title": pd.Series(titles, dtype="object"),
+                    "meta_description": pd.Series(descs, dtype="object"),
+                    "canonical_url": pd.Series(canons, dtype="object"),
+                }
+            )
+
+    return spread_small_input(pages.select(url_col, html_col)).mapInPandas(
+        batches, schema
+    )
+
+
 def domain_link_stats(links: DataFrame, url_col: str = "url") -> DataFrame:
     """(src_domain, dst_domain, n_links, n_unique_hrefs) — the domain
     graph.  Relative hrefs (no host) resolve to the source domain."""

@@ -97,3 +97,37 @@ def test_extract_links_fuzz_never_raises_and_respects_contract():
             assert anchor == " ".join(anchor.split())  # normalized
 
     run()
+
+
+def test_extract_page_meta_fields():
+    from gemini_ocr_batch_spark.kernels.links import extract_page_meta
+
+    html = (
+        "<html><head><title> My   Page &amp; Co </title>"
+        '<meta name="Description" content="a summary here">'
+        '<meta name="description" content="second ignored">'
+        '<link rel="canonical" href="https://ex.com/real">'
+        "<script>var t = '<title>fake</title>';</script>"
+        "</head><body>body</body></html>"
+    )
+    title, desc, canon = extract_page_meta(html)
+    assert title == "My Page & Co"
+    assert desc == "a summary here"          # first wins
+    assert canon == "https://ex.com/real"
+    assert extract_page_meta("<p>no head</p>") == (None, None, None)
+    assert extract_page_meta("") == (None, None, None)
+
+
+def test_page_metadata_null_row_for_non_html(spark):
+    from gemini_ocr_batch_spark.operators.links import page_metadata
+
+    rows = [
+        ("https://a.example/1.html",
+         b"<html><head><title>one</title></head><body>x</body></html>"),
+        ("https://a.example/2.pdf", b"%PDF-1.4 whatever"),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    got = {r["url"]: r for r in page_metadata(df).collect()}
+    assert len(got) == 2                      # 1:1 with input
+    assert got["https://a.example/1.html"]["title"] == "one"
+    assert got["https://a.example/2.pdf"]["title"] is None
