@@ -131,3 +131,30 @@ def test_page_metadata_null_row_for_non_html(spark):
     assert len(got) == 2                      # 1:1 with input
     assert got["https://a.example/1.html"]["title"] == "one"
     assert got["https://a.example/2.pdf"]["title"] is None
+
+
+def test_extract_page_meta_fuzz_never_raises():
+    """Property fuzz for the metadata parser: same contract as the link
+    parser — never raises, normalized title, first-description-wins."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from gemini_ocr_batch_spark.kernels.links import extract_page_meta
+
+    frag = st.sampled_from([
+        "<title>", "</title>", "t1", " t2 ", "<head>", "</head>",
+        '<meta name="description" content="d1">', "<meta name=description>",
+        '<link rel="canonical" href="/c">', '<link rel=canonical>',
+        "<script>", "</script>", "&amp;", "<", ">", "\x00", "<titl",
+    ])
+    soup = st.lists(frag, min_size=0, max_size=25).map("".join)
+
+    @settings(max_examples=200, deadline=None)
+    @given(soup)
+    def run(html):
+        title, desc, canon = extract_page_meta(html)
+        if title is not None:
+            assert title == " ".join(title.split()) and title
+        assert canon is None or canon
+
+    run()
