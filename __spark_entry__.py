@@ -1776,6 +1776,48 @@ def _corpus_token_stats_oracle_sql() -> str:
         """
 
 
+def _q_anchor_texts(spark, sf_dir):
+    # r5 incoming-anchor aggregation over the synthesized crawl's edge
+    # table: '/a' and '/b' each carry one constant anchor across every
+    # HTML page — counts and the top-anchor join are SQL-predictable.
+    from gemini_ocr_batch_spark.operators.links import (
+        incoming_anchor_texts,
+        page_links,
+    )
+
+    pages = _synth_pages(spark, sf_dir)
+    return incoming_anchor_texts(page_links(pages), top_n=3)
+
+
+_ANCHOR_TEXTS_ORACLE = """
+            WITH links AS (
+              SELECT nav.href, nav.anchor
+              FROM documents,
+                   (VALUES ('/a', 'alpha nav link'),
+                           ('/b', 'beta nav link')) AS nav(href, anchor)
+              WHERE doc_id % 4 <> 0
+            ),
+            c AS (
+              SELECT href, anchor, count(*) AS n
+              FROM links GROUP BY 1, 2
+            ),
+            e AS (
+              SELECT href, anchor, n,
+                     sum(n) OVER (PARTITION BY href) AS n_refs,
+                     count(*) OVER (PARTITION BY href)
+                       AS n_unique_anchors,
+                     row_number() OVER (PARTITION BY href
+                                        ORDER BY n DESC, anchor) AS rn
+              FROM c
+            )
+            SELECT href, CAST(n_refs AS BIGINT) AS n_refs,
+                   CAST(n_unique_anchors AS BIGINT) AS n_unique_anchors,
+                   string_agg(anchor, '|' ORDER BY rn) AS top_anchors
+            FROM e WHERE rn <= 3
+            GROUP BY 1, 2, 3 ORDER BY href
+        """
+
+
 def _q_latest_snapshot(spark, sf_dir):
     # r5 crawl revisit resolution: 1-3 synthesized captures per url
     # (version-stamped text, epoch-second ts) — the operator must keep
@@ -2090,6 +2132,10 @@ def local_parity() -> dict[str, tuple]:
         "page_metadata": (
             _q_page_metadata,
             _PAGE_METADATA_ORACLE,
+        ),
+        "anchor_texts": (
+            _q_anchor_texts,
+            _ANCHOR_TEXTS_ORACLE,
         ),
         "stream_dedup_twin": (
             _q_stream_dedup_twin,

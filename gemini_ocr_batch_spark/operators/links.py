@@ -123,6 +123,54 @@ def page_metadata(pages: DataFrame, url_col: str = "url",
     )
 
 
+def incoming_anchor_texts(links: DataFrame, top_n: int = 3) -> DataFrame:
+    """(href, n_refs, n_unique_anchors, top_anchors) — how the web
+    describes each link target.  Aggregated incoming anchor text is a
+    classic relevance/label signal for a training corpus.
+
+    Scale shape: pre-aggregate to (href, anchor, n) FIRST — the shuffle
+    carries distinct (href, anchor) pairs, and per-href state in the
+    top-N window is bounded by the distinct-anchor count, never by
+    reference count.  Deliberately NOT ``collect_set(anchor)``: a hot
+    target (a homepage linked from 10^8 pages) would accumulate an
+    unbounded set in one aggregation buffer.  ``top_anchors`` joins the
+    ``top_n`` most frequent anchors (count desc, text asc) with '|'.
+    """
+    from pyspark.sql import Window
+
+    counts = links.groupBy("href", "anchor").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w_all = Window.partitionBy("href")
+    w_rank = Window.partitionBy("href").orderBy(F.desc("n"), "anchor")
+    enriched = (
+        counts.withColumn("n_refs", F.sum("n").over(w_all))
+        .withColumn("n_unique_anchors", F.count(F.lit(1)).over(w_all))
+        .withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= int(top_n))
+    )
+    ranked = F.array_sort(
+        F.collect_list(F.struct(F.col("rn"), F.col("anchor")))
+    )
+    return (
+        enriched.groupBy("href", "n_refs", "n_unique_anchors")
+        .agg(
+            F.concat_ws(
+                "|", F.transform(ranked, lambda s: s["anchor"])
+            ).alias("top_anchors")
+        )
+        .select(
+            "href",
+            F.col("n_refs").cast("bigint").alias("n_refs"),
+            F.col("n_unique_anchors").cast("bigint").alias(
+                "n_unique_anchors"
+            ),
+            "top_anchors",
+        )
+        .orderBy("href")
+    )
+
+
 def domain_link_stats(links: DataFrame, url_col: str = "url") -> DataFrame:
     """(src_domain, dst_domain, n_links, n_unique_hrefs) — the domain
     graph.  Relative hrefs (no host) resolve to the source domain."""

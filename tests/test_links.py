@@ -158,3 +158,25 @@ def test_extract_page_meta_fuzz_never_raises():
         assert canon is None or canon
 
     run()
+
+
+def test_incoming_anchor_texts_top_n_and_counts(spark):
+    from gemini_ocr_batch_spark.operators.links import incoming_anchor_texts
+
+    rows = []
+    for i in range(5):
+        rows.append((f"https://s/{i}", 0, "/t", "popular anchor"))
+    rows.append(("https://s/9", 0, "/t", "rare anchor"))
+    rows.append(("https://s/9", 1, "/t", "zz mid anchor"))
+    rows.append(("https://s/9", 2, "/t", "zz mid anchor"))
+    rows.append(("https://s/9", 3, "/other", "solo"))
+    links = spark.createDataFrame(
+        rows, "url string, link_no int, href string, anchor string"
+    )
+    got = {r["href"]: r for r in
+           incoming_anchor_texts(links, top_n=2).collect()}
+    t = got["/t"]
+    assert t["n_refs"] == 8 and t["n_unique_anchors"] == 3
+    # top-2 by count desc then text asc: popular(5), zz mid(2); rare cut
+    assert t["top_anchors"] == "popular anchor|zz mid anchor"
+    assert got["/other"]["top_anchors"] == "solo"
