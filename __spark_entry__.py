@@ -1776,6 +1776,82 @@ def _corpus_token_stats_oracle_sql() -> str:
         """
 
 
+def _q_gopher_flags(spark, sf_dir):
+    # r5 Gopher line/symbol rules over a rule-exercising seeded corpus:
+    # each doc_id%4 class appends content triggering a different rule
+    # (bullets / '#' symbols / ellipsis line / numeric words), so every
+    # ratio and flag varies — replayable in SQL.
+    from gemini_ocr_batch_spark.operators.webtext import gopher_quality_flags
+
+    docs = _t(spark, sf_dir, "documents")
+    suffix = (
+        F.when(F.col("doc_id") % 4 == 0,
+               F.lit("\n- bullet one\n- bullet two"))
+        .when(F.col("doc_id") % 4 == 1, F.lit(" ### ###"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("\nto be continued..."))
+        .otherwise(F.lit(" 12345 67890 13579"))
+    )
+    seeded = docs.select(
+        "doc_id", F.concat(F.col("text"), suffix).alias("text")
+    )
+    return gopher_quality_flags(seeded)
+
+
+_GOPHER_FLAGS_ORACLE = """
+            WITH seeded AS (
+              SELECT doc_id,
+                     text || CASE doc_id % 4
+                       WHEN 0 THEN chr(10) || '- bullet one' || chr(10)
+                                   || '- bullet two'
+                       WHEN 1 THEN ' ### ###'
+                       WHEN 2 THEN chr(10) || 'to be continued...'
+                       ELSE ' 12345 67890 13579' END AS text
+              FROM documents
+            ),
+            feat AS (
+              SELECT doc_id,
+                     CAST(length(text) - length(replace(text, '#', ''))
+                          + (length(text) - length(regexp_replace(text,
+                              '\\.\\.\\.', '', 'g'))) / 3 AS BIGINT)
+                       AS sym,
+                     CAST(len(regexp_split_to_array(trim(lower(text)),
+                          '\\s+')) AS BIGINT) AS w,
+                     CAST(len(list_filter(string_split(text, chr(10)),
+                          l -> regexp_matches(l, '^\\s*[-*•]')))
+                          AS BIGINT) AS b,
+                     CAST(len(list_filter(string_split(text, chr(10)),
+                          l -> regexp_matches(l,
+                              '\\.\\.\\.\\s*$|…\\s*$'))) AS BIGINT) AS e,
+                     CAST(len(string_split(text, chr(10))) AS BIGINT) AS l,
+                     CAST(len(list_filter(regexp_split_to_array(
+                          trim(lower(text)), '\\s+'),
+                          x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS a
+              FROM seeded
+            ),
+            ratios AS (
+              SELECT doc_id,
+                     (sym * 10000) // greatest(w, 1)
+                       AS symbol_ratio_x10000,
+                     (b * 10000) // greatest(l, 1) AS bullet_frac_x10000,
+                     (e * 10000) // greatest(l, 1)
+                       AS ellipsis_frac_x10000,
+                     (a * 10000) // greatest(w, 1) AS alpha_frac_x10000
+              FROM feat
+            )
+            SELECT doc_id, symbol_ratio_x10000, bullet_frac_x10000,
+                   ellipsis_frac_x10000, alpha_frac_x10000,
+                   symbol_ratio_x10000 <= 1000 AS symbol_ok,
+                   bullet_frac_x10000 <= 9000 AS bullet_ok,
+                   ellipsis_frac_x10000 <= 3000 AS ellipsis_ok,
+                   alpha_frac_x10000 >= 8000 AS alpha_ok,
+                   (symbol_ratio_x10000 <= 1000
+                    AND bullet_frac_x10000 <= 9000
+                    AND ellipsis_frac_x10000 <= 3000
+                    AND alpha_frac_x10000 >= 8000) AS gopher_ok
+            FROM ratios ORDER BY doc_id
+        """
+
+
 def _q_anchor_texts(spark, sf_dir):
     # r5 incoming-anchor aggregation over the synthesized crawl's edge
     # table: '/a' and '/b' each carry one constant anchor across every
@@ -2136,6 +2212,10 @@ def local_parity() -> dict[str, tuple]:
         "anchor_texts": (
             _q_anchor_texts,
             _ANCHOR_TEXTS_ORACLE,
+        ),
+        "gopher_flags": (
+            _q_gopher_flags,
+            _GOPHER_FLAGS_ORACLE,
         ),
         "stream_dedup_twin": (
             _q_stream_dedup_twin,

@@ -88,6 +88,85 @@ def canonicalize_urls(pages: DataFrame, url_col: str = "url") -> DataFrame:
     ).orderBy(url_col)
 
 
+def gopher_quality_flags(docs: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text",
+                         max_symbol_x10000: int = 1000,
+                         max_bullet_x10000: int = 9000,
+                         max_ellipsis_x10000: int = 3000,
+                         min_alpha_x10000: int = 8000) -> DataFrame:
+    """The remaining Gopher repetition-adjacent quality rules (Rae et
+    al. 2021 §A1.1, public): symbol-to-word ratio ('#' and '...'),
+    fraction of bullet-started lines, fraction of ellipsis-ended lines,
+    fraction of words containing an alphabetic character.
+
+    All four are pure column expressions over the row (split + HOF
+    filters whose lambdas touch only their argument and literals — the
+    PLANS.md HOF-capture audit rule), fixed-point x10000 so the DuckDB
+    twin is hash-exact; zero shuffle beyond the caller's presentation
+    sort.  Returns per-rule ratios + booleans and the composed
+    ``gopher_ok``; thresholds default to the published values.
+    """
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    toks = tokens(text_col)
+    n_words = F.size(toks)
+    n_hash = F.length(text) - F.length(F.regexp_replace(text, "#", ""))
+    n_ellipsis = (
+        F.length(text)
+        - F.length(F.regexp_replace(text, r"\.\.\.", ""))
+    ) / 3
+    lines = F.split(text, "\n")
+    n_lines = F.size(lines)
+    n_bullet = F.size(
+        F.filter(lines, lambda l: l.rlike(r"^\s*[-*•]"))
+    )
+    n_ell_lines = F.size(
+        F.filter(lines, lambda l: l.rlike(r"\.\.\.\s*$|…\s*$"))
+    )
+    n_alpha = F.size(F.filter(toks, lambda w: w.rlike("[a-z]")))
+
+    def ratio(num, den):
+        return F.expr(
+            f"CAST(({num} * 10000) div greatest({den}, 1) AS BIGINT)"
+        )
+
+    out = docs.select(
+        F.col(id_col),
+        (n_hash + F.floor(n_ellipsis)).cast("bigint").alias("__sym"),
+        n_words.cast("bigint").alias("__w"),
+        n_bullet.cast("bigint").alias("__b"),
+        n_ell_lines.cast("bigint").alias("__e"),
+        n_lines.cast("bigint").alias("__l"),
+        n_alpha.cast("bigint").alias("__a"),
+    ).select(
+        id_col,
+        ratio("__sym", "__w").alias("symbol_ratio_x10000"),
+        ratio("__b", "__l").alias("bullet_frac_x10000"),
+        ratio("__e", "__l").alias("ellipsis_frac_x10000"),
+        ratio("__a", "__w").alias("alpha_frac_x10000"),
+    ).select(
+        id_col,
+        "symbol_ratio_x10000",
+        "bullet_frac_x10000",
+        "ellipsis_frac_x10000",
+        "alpha_frac_x10000",
+        (F.col("symbol_ratio_x10000") <= max_symbol_x10000).alias(
+            "symbol_ok"
+        ),
+        (F.col("bullet_frac_x10000") <= max_bullet_x10000).alias(
+            "bullet_ok"
+        ),
+        (F.col("ellipsis_frac_x10000") <= max_ellipsis_x10000).alias(
+            "ellipsis_ok"
+        ),
+        (F.col("alpha_frac_x10000") >= min_alpha_x10000).alias("alpha_ok"),
+    ).withColumn(
+        "gopher_ok",
+        F.col("symbol_ok") & F.col("bullet_ok") & F.col("ellipsis_ok")
+        & F.col("alpha_ok"),
+    ).orderBy(id_col)
+    return out
+
+
 def latest_snapshot(pages: DataFrame, key_col: str = "url",
                     ts_col: str = "warc_ts",
                     canonicalize: bool = False) -> DataFrame:

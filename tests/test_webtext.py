@@ -311,3 +311,38 @@ def test_latest_snapshot_canonicalize_collapses_variants(spark):
     canon = latest_snapshot(df, canonicalize=True).collect()
     assert len(canon) == 1
     assert canon[0]["text"] == "bare" and canon[0]["n_snapshots"] == 2
+
+
+def test_gopher_quality_flags_hand_computed(spark):
+    from gemini_ocr_batch_spark.operators.webtext import gopher_quality_flags
+
+    rows = [
+        (1, "clean simple words all the way through here today"),
+        (2, "# # # # # bad"),                   # 5 hashes / 6 words
+        (3, "- a\n- b\n- c\nplain"),            # 3 of 4 lines bulleted
+        (4, "read more...\nand more...\nok"),   # 2 of 3 ellipsis lines
+        (5, "111 222 333 444 word"),            # 1 of 5 alpha words
+        (6, None),                              # null text: all-zero, not ok
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in gopher_quality_flags(df).collect()}
+    assert got[1]["gopher_ok"]
+    assert got[1]["alpha_frac_x10000"] == 10000
+    assert got[2]["symbol_ratio_x10000"] == 8333 and not got[2]["symbol_ok"]
+    assert got[3]["bullet_frac_x10000"] == 7500 and got[3]["bullet_ok"]
+    assert got[4]["ellipsis_frac_x10000"] == 6666
+    assert not got[4]["ellipsis_ok"]
+    assert got[5]["alpha_frac_x10000"] == 2000 and not got[5]["alpha_ok"]
+    assert not got[6]["gopher_ok"]           # zero alpha fraction fails
+
+
+def test_gopher_quality_flags_stays_jvm_side(spark, sf_dir):
+    from gemini_ocr_batch_spark.operators.webtext import gopher_quality_flags
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = (
+        gopher_quality_flags(docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Exchange") == 1 and "rangepartitioning" in plan
