@@ -1811,6 +1811,7 @@ _GOPHER_FLAGS_ORACLE = """
             feat AS (
               SELECT doc_id,
                      CAST(length(text) - length(replace(text, '#', ''))
+                          + length(text) - length(replace(text, '…', ''))
                           + (length(text) - length(regexp_replace(text,
                               '\\.\\.\\.', '', 'g'))) / 3 AS BIGINT)
                        AS sym,
@@ -1825,7 +1826,7 @@ _GOPHER_FLAGS_ORACLE = """
                      CAST(len(string_split(text, chr(10))) AS BIGINT) AS l,
                      CAST(len(list_filter(regexp_split_to_array(
                           trim(lower(text)), '\\s+'),
-                          x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS a
+                          x -> regexp_matches(x, '\\p{L}'))) AS BIGINT) AS a
               FROM seeded
             ),
             ratios AS (

@@ -63,8 +63,13 @@ class _LinkParser(HTMLParser):
 
     def close(self) -> None:  # noqa: D102
         super().close()
-        while self._open:
-            self._emit(*self._open.pop())
+        # EOF-flush unterminated anchors in STACK order (outermost first
+        # = open order = document order), not pop order — popping emitted
+        # innermost-first and broke the documented ordered-links contract
+        # when a page ends with several open anchors (r5 ADVICE).
+        for href, parts in self._open:
+            self._emit(href, parts)
+        self._open.clear()
 
 
 def extract_links(html_text: str) -> list[tuple[str, str]]:

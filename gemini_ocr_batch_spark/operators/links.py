@@ -173,16 +173,26 @@ def incoming_anchor_texts(links: DataFrame, top_n: int = 3) -> DataFrame:
 
 def domain_link_stats(links: DataFrame, url_col: str = "url") -> DataFrame:
     """(src_domain, dst_domain, n_links, n_unique_hrefs) — the domain
-    graph.  Relative hrefs (no host) resolve to the source domain."""
+    graph.  Relative hrefs (no host) resolve to the source domain;
+    NON-HIERARCHICAL hrefs — a scheme but no host (``mailto:``,
+    ``javascript:``, ``tel:``, ``data:``) — and bare same-page fragments
+    (``#...``) are NOT edges and are dropped, so they never inflate
+    intra-domain counts or the link-farm features built on them (r5
+    ADVICE)."""
     src = F.coalesce(
         F.parse_url(F.col(url_col), F.lit("HOST")), F.col(url_col)
     )
     dst_host = F.parse_url(F.col("href"), F.lit("HOST"))
+    non_edge = (dst_host.isNull() | (dst_host == "")) & (
+        F.col("href").rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*:")
+        | F.col("href").startswith("#")
+    )
     dst = F.when(
         dst_host.isNull() | (dst_host == ""), src
     ).otherwise(dst_host)
     return (
-        links.select(src.alias("src_domain"), dst.alias("dst_domain"), "href")
+        links.filter(~non_edge)
+        .select(src.alias("src_domain"), dst.alias("dst_domain"), "href")
         .groupBy("src_domain", "dst_domain")
         .agg(
             F.count(F.lit(1)).alias("n_links"),

@@ -105,11 +105,23 @@ def gopher_quality_flags(docs: DataFrame, id_col: str = "doc_id",
     twin is hash-exact; zero shuffle beyond the caller's presentation
     sort.  Returns per-rule ratios + booleans and the composed
     ``gopher_ok``; thresholds default to the published values.
+
+    r6 fidelity fixes (ADVICE): the alpha rule uses the Unicode letter
+    class ``\\p{L}`` (identical in Java regex and RE2), not ASCII
+    ``[a-z]`` — non-Latin-script documents (zh/ru/ja/ar) score their
+    real alpha fraction instead of a silent 0; tokens are built from the
+    COALESCED text so a NULL document yields all-zero ratios and real
+    ``false`` flags (never NULL booleans, which break negated filters
+    downstream); and the symbol ratio counts the Unicode ellipsis ``…``
+    alongside ``...``, matching the published Gopher symbol set.
     """
     text = F.coalesce(F.col(text_col), F.lit(""))
-    toks = tokens(text_col)
+    toks = tokens(text)
     n_words = F.size(toks)
     n_hash = F.length(text) - F.length(F.regexp_replace(text, "#", ""))
+    n_uni_ellipsis = F.length(text) - F.length(
+        F.regexp_replace(text, "…", "")
+    )
     n_ellipsis = (
         F.length(text)
         - F.length(F.regexp_replace(text, r"\.\.\.", ""))
@@ -122,7 +134,7 @@ def gopher_quality_flags(docs: DataFrame, id_col: str = "doc_id",
     n_ell_lines = F.size(
         F.filter(lines, lambda l: l.rlike(r"\.\.\.\s*$|…\s*$"))
     )
-    n_alpha = F.size(F.filter(toks, lambda w: w.rlike("[a-z]")))
+    n_alpha = F.size(F.filter(toks, lambda w: w.rlike(r"\p{L}")))
 
     def ratio(num, den):
         return F.expr(
@@ -131,7 +143,8 @@ def gopher_quality_flags(docs: DataFrame, id_col: str = "doc_id",
 
     out = docs.select(
         F.col(id_col),
-        (n_hash + F.floor(n_ellipsis)).cast("bigint").alias("__sym"),
+        (n_hash + n_uni_ellipsis + F.floor(n_ellipsis))
+        .cast("bigint").alias("__sym"),
         n_words.cast("bigint").alias("__w"),
         n_bullet.cast("bigint").alias("__b"),
         n_ell_lines.cast("bigint").alias("__e"),
@@ -169,26 +182,71 @@ def gopher_quality_flags(docs: DataFrame, id_col: str = "doc_id",
 
 def latest_snapshot(pages: DataFrame, key_col: str = "url",
                     ts_col: str = "warc_ts",
-                    canonicalize: bool = False) -> DataFrame:
+                    canonicalize: bool = False,
+                    tiebreak_col: str = "text",
+                    slim: bool = False) -> DataFrame:
     """Crawl revisit resolution: one row per key — the most recent
     snapshot — plus ``n_snapshots`` (how many captures were collapsed).
 
     A crawl archive carries the same url at many capture timestamps;
     every corpus pass wants exactly one.  ``canonicalize=True`` first
     rewrites the key with :func:`canonical_url_col`, so tracking-param /
-    host-case variants of one page also collapse.
+    host-case variants of one page also collapse.  ``tiebreak_col``
+    (default ``text``) is the column whose digest breaks (key, ts) ties
+    deterministically — parameterized so key/ts-generic inputs without a
+    ``text`` column still analyze.
 
-    Scale notes: a single ``row_number`` window = ONE hash shuffle on
-    the key, streaming frame (no per-group buffering beyond the frame
-    row).  Deliberately not ``groupBy(max(ts)) + self-join`` — that
-    shuffles the table twice and re-reads it.  Ties on (key, ts) break
-    deterministically by the content digest so reruns and oracles agree.
+    Scale notes — two shapes, pick by storage layout:
+
+    - ``slim=False`` (default): a single ``row_number`` window = ONE
+      hash shuffle on the key, streaming frame.  Deliberately not
+      ``groupBy(max(ts)) + self-join`` — that shuffles the table twice.
+      Full rows (including text/blob payloads) cross the one exchange.
+    - ``slim=True``: winners are elected over ONLY (key, ts, tiebreak
+      digest) — the window exchange carries three slim columns — then an
+      equi-join on (key, ts, digest) re-selects the winning full rows.
+      On a source bucketed/partitioned by the key (the Iceberg layout a
+      crawl store uses) the big side joins WITHOUT a shuffle, so page
+      payloads never cross an exchange; on an unbucketed source the join
+      itself shuffles and the default single-window form is cheaper (see
+      BENCH.md for the measured crossover).  Caveat: rows byte-equal on
+      all three of (key, ts, tiebreak digest) all survive in slim mode
+      (the window form keeps exactly one); such rows are exact capture
+      duplicates, upstream exact-dedup territory.
     """
     key = canonical_url_col(F.col(key_col)) if canonicalize else F.col(key_col)
+    tb = F.md5(F.coalesce(F.col(tiebreak_col).cast("string"), F.lit("")))
+    if slim:
+        slim_rows = pages.select(
+            key.alias("__key"),
+            F.col(ts_col).alias("__ts"),
+            tb.alias("__tb"),
+        )
+        w = Window.partitionBy("__key").orderBy(F.desc("__ts"), "__tb")
+        winners = (
+            slim_rows.withColumn("rn", F.row_number().over(w))
+            .withColumn(
+                "n_snapshots",
+                F.count(F.lit(1))
+                .over(Window.partitionBy("__key"))
+                .cast("int"),
+            )
+            .filter(F.col("rn") == 1)
+            .select("__key", "__ts", "__tb", "n_snapshots")
+        )
+        keyed = pages.withColumn("__key", key).withColumn("__tb", tb)
+        cond = (
+            (keyed["__key"] == winners["__key"])
+            & (keyed[ts_col] == winners["__ts"])
+            & (keyed["__tb"] == winners["__tb"])
+        )
+        return (
+            keyed.join(winners, cond)
+            .drop(winners["__key"])
+            .drop("__ts", "__tb", "__key")
+        )
     keyed = pages.withColumn("__key", key)
-    w = Window.partitionBy("__key").orderBy(
-        F.desc(ts_col), F.md5(F.coalesce(F.col("text"), F.lit("")))
-    )
+    w = Window.partitionBy("__key").orderBy(F.desc(ts_col), tb)
     return (
         keyed.withColumn("rn", F.row_number().over(w))
         .withColumn(

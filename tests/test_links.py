@@ -39,6 +39,15 @@ def test_extract_links_nested_and_unterminated():
     assert ("/outer", "out") in links
 
 
+def test_extract_links_eof_flush_keeps_document_order():
+    # several anchors left open at EOF must flush in open (= document)
+    # order, not innermost-first (r5 ADVICE)
+    html = '<a href="/first">one <a href="/second">two <a href="/third">three'
+    assert [h for h, _ in extract_links(html)] == [
+        "/first", "/second", "/third"
+    ]
+
+
 def test_extract_links_never_raises_on_junk():
     for junk in ("", "<a href=", "<<<>>>", "\x00\x01<a href='/x'>y</a>"):
         assert isinstance(extract_links(junk), list)
@@ -73,6 +82,27 @@ def test_domain_link_stats_resolves_relative_to_src(spark):
     }
     assert got[("a.example", "a.example")] == (1, 1)
     assert got[("a.example", "b.example")] == (3, 2)
+
+
+def test_domain_link_stats_drops_non_hierarchical_hrefs(spark):
+    # mailto:/javascript:/tel:/data: and bare fragments are not edges —
+    # they must not inflate the intra-domain count (r5 ADVICE)
+    rows = [
+        ("https://a.example/1.html", 0, "/real", "l"),
+        ("https://a.example/1.html", 1, "mailto:x@y.z", "mail"),
+        ("https://a.example/1.html", 2, "javascript:void(0)", "js"),
+        ("https://a.example/1.html", 3, "tel:+123", "tel"),
+        ("https://a.example/1.html", 4, "data:text/plain,hi", "data"),
+        ("https://a.example/1.html", 5, "#top", "frag"),
+    ]
+    links = spark.createDataFrame(
+        rows, "url string, link_no int, href string, anchor string"
+    )
+    got = {
+        (r["src_domain"], r["dst_domain"]): (r["n_links"], r["n_unique_hrefs"])
+        for r in domain_link_stats(links).collect()
+    }
+    assert got == {("a.example", "a.example"): (1, 1)}
 
 
 def test_extract_links_fuzz_never_raises_and_respects_contract():

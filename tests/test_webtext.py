@@ -298,6 +298,46 @@ def test_latest_snapshot_revisit_resolution(spark):
     )
 
 
+def test_latest_snapshot_slim_matches_window_form(spark):
+    """slim=True (slim winner election + join-back) must select exactly
+    the rows the single-window form selects, including digest tie-breaks."""
+    from gemini_ocr_batch_spark.operators.webtext import latest_snapshot
+
+    rows = [
+        ("https://a.example/p", 100, "old", "en"),
+        ("https://a.example/p", 300, "newest", "en"),
+        ("https://a.example/p", 200, "mid", "de"),
+        ("https://b.example/q", 50, "only", "fr"),
+        ("https://c.example/t", 7, "aaa", "en"),   # (key, ts) tie broken
+        ("https://c.example/t", 7, "bbb", "en"),   # by md5(text)
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts long, text string, lang string"
+    )
+    key = lambda r: (r["url"], r["warc_ts"], r["text"], r["lang"],
+                     r["n_snapshots"])
+    dense = sorted(key(r) for r in latest_snapshot(df).collect())
+    slim = sorted(key(r) for r in latest_snapshot(df, slim=True).collect())
+    assert dense == slim and len(slim) == 3
+
+
+def test_latest_snapshot_tiebreak_col_generic_input(spark):
+    """Inputs without a `text` column analyze when tiebreak_col names a
+    real column (r5 ADVICE: the tie-break was hardcoded to `text`)."""
+    from gemini_ocr_batch_spark.operators.webtext import latest_snapshot
+
+    df = spark.createDataFrame(
+        [("k", 1, 10), ("k", 2, 20), ("k", 2, 30)],
+        "url string, warc_ts long, payload int",
+    )
+    got = latest_snapshot(df, tiebreak_col="payload").collect()
+    assert len(got) == 1 and got[0]["n_snapshots"] == 3
+    import hashlib
+
+    win = min("20", "30", key=lambda t: hashlib.md5(t.encode()).hexdigest())
+    assert got[0]["payload"] == int(win)
+
+
 def test_latest_snapshot_canonicalize_collapses_variants(spark):
     from gemini_ocr_batch_spark.operators.webtext import latest_snapshot
 
@@ -323,6 +363,8 @@ def test_gopher_quality_flags_hand_computed(spark):
         (4, "read more...\nand more...\nok"),   # 2 of 3 ellipsis lines
         (5, "111 222 333 444 word"),            # 1 of 5 alpha words
         (6, None),                              # null text: all-zero, not ok
+        (7, "привет мир 你好 世界"),              # non-Latin scripts count
+        (8, "wait… wait… wait… go"),            # unicode ellipsis = symbol
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r["doc_id"]: r for r in gopher_quality_flags(df).collect()}
@@ -332,8 +374,18 @@ def test_gopher_quality_flags_hand_computed(spark):
     assert got[3]["bullet_frac_x10000"] == 7500 and got[3]["bullet_ok"]
     assert got[4]["ellipsis_frac_x10000"] == 6666
     assert not got[4]["ellipsis_ok"]
-    assert got[5]["alpha_frac_x10000"] == 2000 and not got[5]["alpha_ok"]
-    assert not got[6]["gopher_ok"]           # zero alpha fraction fails
+    assert got[5]["alpha_frac_x10000"] == 2000 and got[5]["alpha_ok"] is False
+    # NULL text: every ratio is exactly 0 and every flag a REAL boolean
+    # (NULL booleans break negated filters downstream — r5 ADVICE)
+    assert got[6]["alpha_frac_x10000"] == 0
+    assert got[6]["symbol_ratio_x10000"] == 0
+    assert got[6]["alpha_ok"] is False and got[6]["gopher_ok"] is False
+    assert got[6]["symbol_ok"] is True  # 0/0 symbols is not a violation
+    # \p{L} alpha class: zh/ru words are alphabetic, not silently 0
+    assert got[7]["alpha_frac_x10000"] == 10000 and got[7]["gopher_ok"]
+    # '…' counts toward the symbol ratio like '...': 3 symbols / 4 words
+    assert got[8]["symbol_ratio_x10000"] == 7500
+    assert got[8]["symbol_ok"] is False
 
 
 def test_gopher_quality_flags_stays_jvm_side(spark, sf_dir):
