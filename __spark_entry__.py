@@ -926,7 +926,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extraction_resume_antijoin": _q_extraction_resume,
         # scans/filters/projections (S*/P*/F*)
         "pending_anti_join": _q_pending_anti_join,
-        "membership_filter": _q_membership_filter,
+        # r6: membership_filter (P1 single-isin; shape_predicate + the
+        # pushdown plan pin keep P1's semantics covered) retired to
+        # local_parity() — the freed slot driver-registers decontaminate.
         "range_filter": _q_range_filter,
         "shape_predicate": _q_shape_predicate,
         "key_format_parse": _q_key_format_parse,
@@ -978,7 +980,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_flags": _q_curation_flags,
         "line_dedup": _q_line_dedup,
         "winnow_fingerprints": _q_winnow_fingerprints,
-        "json_path_extract": _q_json_path_extract,
+        # r6 rotation (VERDICT r5 item 1): json_path_extract retired to
+        # local_parity() — F9 is fully exercised inside json_fence_rescue
+        # (which composes F6+F7+F9) — and the two most product-critical
+        # r5 operators take the freed slots: the eval-leakage sweep and
+        # the Gopher line/symbol quality rules.
+        "decontaminate": _q_decontaminate,
+        "gopher_flags": _q_gopher_flags,
         "json_fence_rescue": _q_json_fence_rescue,
         "json_validate": _q_json_validate,
         "sessionize": _q_sessionize,
@@ -2186,9 +2194,23 @@ def local_parity() -> dict[str, tuple]:
             _q_stratified_sample,
             _stratified_sample_oracle_sql(),
         ),
-        "decontaminate": (
-            _q_decontaminate,
-            _decontaminate_oracle_sql(),
+        # r6 rotation: decontaminate + gopher_flags promoted to the
+        # driver registry; the retired membership_filter (P1) and
+        # json_path_extract (F9) ride the same gate here instead.
+        "membership_filter": (
+            _q_membership_filter,
+            """
+            SELECT lang, count(*) AS n_docs FROM documents
+            WHERE lang IN ('en','de') GROUP BY lang ORDER BY lang
+            """,
+        ),
+        "json_path_extract": (
+            _q_json_path_extract,
+            """
+            SELECT event_id,
+                   CAST(json_extract_string(props, '$.k') AS INT) AS k
+            FROM events ORDER BY event_id
+            """,
         ),
         "winnow_overlap_pairs": (
             _q_winnow_overlap_pairs,
@@ -2213,10 +2235,6 @@ def local_parity() -> dict[str, tuple]:
         "anchor_texts": (
             _q_anchor_texts,
             _ANCHOR_TEXTS_ORACLE,
-        ),
-        "gopher_flags": (
-            _q_gopher_flags,
-            _GOPHER_FLAGS_ORACLE,
         ),
         "stream_dedup_twin": (
             _q_stream_dedup_twin,
@@ -2272,10 +2290,6 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang FROM documents
             WHERE doc_id NOT IN (SELECT doc_id FROM documents WHERE doc_id % 10 < 3)
             ORDER BY doc_id
-        """,
-        "membership_filter": """
-            SELECT lang, count(*) AS n_docs FROM documents
-            WHERE lang IN ('en','de') GROUP BY lang ORDER BY lang
         """,
         "range_filter": """
             SELECT event_type, count(*) AS n FROM events
@@ -2505,11 +2519,8 @@ def oracle_sql() -> dict[str, str]:
         "repetition_score": _repetition_score_oracle_sql(),
         "curation_flags": _curation_flags_oracle_sql(),
         "line_dedup": _LINE_DEDUP_ORACLE,
-        "json_path_extract": """
-            SELECT event_id,
-                   CAST(json_extract_string(props, '$.k') AS INT) AS k
-            FROM events ORDER BY event_id
-        """,
+        "decontaminate": _decontaminate_oracle_sql(),
+        "gopher_flags": _GOPHER_FLAGS_ORACLE,
         "json_fence_rescue": """
             WITH fenced AS (
               SELECT event_id,
