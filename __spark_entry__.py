@@ -1861,6 +1861,64 @@ _GOPHER_FLAGS_ORACLE = """
         """
 
 
+def _q_blocklist_flags(spark, sf_dir):
+    # r6 URL/domain blocklist: hosts synthesized from doc_id%5 exercise
+    # every match mode — exact host, direct + deep subdomain suffix,
+    # pattern rule, and clean survivor — against a 2-domain blocklist.
+    from gemini_ocr_batch_spark.operators.blocklist import blocklist_flags
+
+    docs = _t(spark, sf_dir, "documents")
+    host = (
+        F.when(F.col("doc_id") % 5 == 0, F.lit("ads.example.com"))
+        .when(F.col("doc_id") % 5 == 1, F.lit("sub.tracker.net"))
+        .when(F.col("doc_id") % 5 == 2, F.lit("good.org"))
+        .when(F.col("doc_id") % 5 == 3, F.lit("deep.a.b.tracker.net"))
+        .otherwise(F.lit("fun.org"))
+    )
+    path = (
+        F.when(F.col("doc_id") % 5 == 4, F.lit("/casino/p/"))
+        .otherwise(F.lit("/p/"))
+    )
+    pages = docs.select(
+        F.concat(
+            F.lit("https://"), host, path, F.col("doc_id").cast("string")
+        ).alias("url")
+    )
+    blocked = spark.createDataFrame(
+        [("ads.example.com",), ("tracker.net",)], "domain string"
+    )
+    return blocklist_flags(pages, blocked, patterns=["/casino/"])
+
+
+_BLOCKLIST_FLAGS_ORACLE = """
+            WITH pages AS (
+              SELECT 'https://' ||
+                     CASE doc_id % 5
+                       WHEN 0 THEN 'ads.example.com'
+                       WHEN 1 THEN 'sub.tracker.net'
+                       WHEN 2 THEN 'good.org'
+                       WHEN 3 THEN 'deep.a.b.tracker.net'
+                       ELSE 'fun.org' END ||
+                     CASE WHEN doc_id % 5 = 4 THEN '/casino/p/'
+                          ELSE '/p/' END || doc_id AS url,
+                     CASE doc_id % 5
+                       WHEN 0 THEN 'ads.example.com'
+                       WHEN 1 THEN 'sub.tracker.net'
+                       WHEN 2 THEN 'good.org'
+                       WHEN 3 THEN 'deep.a.b.tracker.net'
+                       ELSE 'fun.org' END AS host
+              FROM documents
+            ),
+            bl(domain) AS (VALUES ('ads.example.com'), ('tracker.net'))
+            SELECT url,
+                   (regexp_matches(url, '/casino/')
+                    OR EXISTS (SELECT 1 FROM bl
+                               WHERE host = domain
+                                  OR host LIKE '%.' || domain)) AS blocked
+            FROM pages ORDER BY url
+        """
+
+
 def _q_anchor_texts(spark, sf_dir):
     # r5 incoming-anchor aggregation over the synthesized crawl's edge
     # table: '/a' and '/b' each carry one constant anchor across every
@@ -2235,6 +2293,11 @@ def local_parity() -> dict[str, tuple]:
         "anchor_texts": (
             _q_anchor_texts,
             _ANCHOR_TEXTS_ORACLE,
+        ),
+        # r6 additions
+        "blocklist_flags": (
+            _q_blocklist_flags,
+            _BLOCKLIST_FLAGS_ORACLE,
         ),
         "stream_dedup_twin": (
             _q_stream_dedup_twin,

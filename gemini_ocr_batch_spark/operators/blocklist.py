@@ -1,0 +1,145 @@
+"""URL/domain blocklist filtering — the first gate of every production
+crawl pipeline (RefinedWeb §3.1 runs a UT1-style blocklist before any
+content-based rule; C4 applies a bad-words URL filter).
+
+The reference repo's closest analog is the single-column membership
+filter on its work-item scan (``src/scanner.py:62-63``); this is that
+operator at crawl realism: a *domain* blocklist must match every
+subdomain of a blocked registrable domain, and URL *pattern* rules are
+literal regexes evaluated in the scan.
+
+Scale shape (the 100 TB posture):
+
+- The blocklist side is small relative to the corpus (UT1 is ~4M rows —
+  megabytes) → every domain match is a **broadcast hash LEFT ANTI
+  join**; the page side streams through in its own scan splits and
+  never shuffles, and page text/blob columns never reach the join's
+  build side.  Suffix matching is made *equi-joinable* by probing the
+  host's label suffixes (``a.b.example.com`` probes itself,
+  ``b.example.com``, ``example.com``) — one chained anti-join per
+  depth, fused into a single whole-stage-codegen'd pass over the pages.
+  Each probe broadcasts the same slim lowercased-domain projection
+  (megabytes for a UT1-scale list; AQE's runtime exchange reuse dedupes
+  the identical broadcasts) and the blocklist side itself never
+  shuffles.
+- Pattern rules compile to one literal ``rlike`` predicate in the scan
+  filter — zero joins, zero shuffles, pushdown-eligible.  Patterns are
+  restricted to the Java-regex/RE2-identical subset so the DuckDB
+  oracle twin replays them exactly.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Hosts with more labels than this only match blocklist entries exactly
+# (full-host equality); public-suffix blocklists list 2-3 label domains,
+# so 8 probes cover real inputs with headroom.  Documented, not silent.
+DEFAULT_MAX_LABELS = 8
+
+
+def host_col(url) -> F.Column:
+    """Lowercased host of a URL column ('' for unparseable urls —
+    ``try_parse_url``, because crawl inputs contain garbage and
+    ``parse_url`` raises under ANSI mode)."""
+    u = F.col(url) if isinstance(url, str) else url
+    return F.lower(
+        F.coalesce(F.try_parse_url(u, F.lit("HOST")), F.lit(""))
+    )
+
+
+def label_suffix_col(host: F.Column, k: int) -> F.Column:
+    """The last-``k``-labels suffix of a host ('' when the host has
+    fewer than ``k`` labels, so it never false-matches)."""
+    labels = F.split(host, r"\.")
+    return F.when(
+        F.size(labels) >= k,
+        F.concat_ws(
+            ".", F.slice(labels, F.size(labels) - (k - 1), F.lit(k))
+        ),
+    ).otherwise(F.lit(""))
+
+
+def blocklist_filter(
+    pages: DataFrame,
+    blocked_domains: DataFrame | None = None,
+    patterns: Sequence[str] = (),
+    url_col: str = "url",
+    domain_col: str = "domain",
+    max_labels: int = DEFAULT_MAX_LABELS,
+) -> DataFrame:
+    """Drop pages whose url matches the blocklist; keep everything else,
+    schema unchanged.
+
+    A page is blocked when its host equals a blocked domain, the host is
+    a subdomain of a blocked domain (label-suffix match, exact up to
+    ``max_labels``-label hosts), or the raw url matches any literal
+    pattern.  ``blocked_domains`` is a one-column DataFrame
+    (``domain_col``) — entries are lowercased and deduplicated here, so
+    callers can pass a raw list-file read.
+    """
+    out = pages
+    if patterns:
+        combined = "|".join(f"(?:{p})" for p in patterns)
+        out = out.filter(~F.col(url_col).rlike(combined))
+    if blocked_domains is None:
+        return out
+    # No .distinct() here: an anti-join's broadcast hash relation dedupes
+    # keys on build, and a distinct would re-shuffle the blocklist side
+    # once PER probe (observed: one hashpartitioning exchange per depth).
+    bd = blocked_domains.select(
+        F.lower(F.trim(F.col(domain_col))).alias("__blocked")
+    ).filter(F.col("__blocked") != "")
+    host = host_col(url_col)
+    out = out.withColumn("__h0", host)
+    # full-host equality, then each label-suffix depth; every probe is a
+    # broadcast hash anti-join against the SAME broadcast relation
+    out = out.join(
+        F.broadcast(bd), out["__h0"] == bd["__blocked"], "left_anti"
+    )
+    for k in range(2, max_labels + 1):
+        sfx = f"__h{k}"
+        out = out.withColumn(sfx, label_suffix_col(F.col("__h0"), k))
+        out = out.join(
+            F.broadcast(bd), out[sfx] == bd["__blocked"], "left_anti"
+        ).drop(sfx)
+    return out.drop("__h0")
+
+
+def blocklist_flags(
+    pages: DataFrame,
+    blocked_domains: DataFrame | None = None,
+    patterns: Sequence[str] = (),
+    url_col: str = "url",
+    domain_col: str = "domain",
+    max_labels: int = DEFAULT_MAX_LABELS,
+) -> DataFrame:
+    """(url, blocked) audit table — the flag form of
+    :func:`blocklist_filter`, for composing into curation passes and for
+    measuring blocklist hit rates without rewriting the corpus.
+
+    Computed as a slim DISTINCT-url projection minus the filtered
+    survivor set — one row per distinct url, and the pages side of every
+    join carries only the url column, so even the flag pass never moves
+    page payloads.
+    """
+    urls = pages.select(url_col).distinct()
+    kept = blocklist_filter(
+        urls,
+        blocked_domains,
+        patterns,
+        url_col=url_col,
+        domain_col=domain_col,
+        max_labels=max_labels,
+    ).withColumn("__kept", F.lit(True))
+    return (
+        urls.join(kept, url_col, "left")
+        .select(
+            F.col(url_col),
+            F.coalesce(~F.col("__kept"), F.lit(True)).alias("blocked"),
+        )
+        .orderBy(url_col)
+    )

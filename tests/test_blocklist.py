@@ -1,0 +1,96 @@
+"""URL/domain blocklist filter (r6): semantics + scale-shape plan pins."""
+
+from __future__ import annotations
+
+from gemini_ocr_batch_spark.operators.blocklist import (
+    blocklist_filter,
+    blocklist_flags,
+)
+
+PAGES = [
+    ("https://ads.example.com/banner", "t0"),       # exact host block
+    ("https://sub.ads.example.com/x", "t1"),        # subdomain of blocked
+    ("https://deep.a.b.tracker.net/y", "t2"),       # deep subdomain
+    ("https://example.com/fine", "t3"),             # parent of a blocked
+    ("https://good.org/page", "t4"),                # survivor
+    ("https://fun.org/casino/slots", "t5"),         # pattern block
+    ("not a url at all", "t6"),                     # unparseable: kept
+]
+BLOCKED = ["ads.example.com", "tracker.net"]
+
+
+def _pages(spark):
+    return spark.createDataFrame(PAGES, "url string, text string")
+
+
+def _bl(spark):
+    return spark.createDataFrame([(d,) for d in BLOCKED], "domain string")
+
+
+def test_blocklist_filter_domains_and_patterns(spark):
+    kept = blocklist_filter(
+        _pages(spark), _bl(spark), patterns=["/casino/"]
+    )
+    assert sorted(r["url"] for r in kept.collect()) == [
+        "https://example.com/fine",
+        "https://good.org/page",
+        "not a url at all",
+    ]
+    # schema passes through unchanged (no helper columns leak)
+    assert kept.columns == ["url", "text"]
+
+
+def test_blocklist_filter_domains_only_and_patterns_only(spark):
+    pages = _pages(spark)
+    dom_only = blocklist_filter(pages, _bl(spark))
+    assert len(dom_only.collect()) == 4  # t3, t4, t5, t6 survive
+    pat_only = blocklist_filter(pages, patterns=["/casino/"])
+    assert len(pat_only.collect()) == 6
+    assert len(blocklist_filter(pages).collect()) == len(PAGES)
+
+
+def test_blocklist_entry_normalization(spark):
+    # blocklist entries are trimmed/lowercased/deduped; empty rows ignored
+    bl = spark.createDataFrame(
+        [(" ADS.Example.COM ",), ("ads.example.com",), ("",)],
+        "domain string",
+    )
+    kept = blocklist_filter(_pages(spark), bl)
+    urls = {r["url"] for r in kept.collect()}
+    assert "https://ads.example.com/banner" not in urls
+    assert "https://deep.a.b.tracker.net/y" in urls  # tracker.net not listed
+
+
+def test_blocklist_flags_agree_with_filter(spark):
+    pages, bl = _pages(spark), _bl(spark)
+    flags = {
+        r["url"]: r["blocked"]
+        for r in blocklist_flags(pages, bl, patterns=["/casino/"]).collect()
+    }
+    survivors = {
+        r["url"]
+        for r in blocklist_filter(pages, bl, patterns=["/casino/"]).collect()
+    }
+    assert set(flags) == {u for u, _ in PAGES}
+    for url, blocked in flags.items():
+        assert blocked is (url not in survivors), url
+    assert all(isinstance(b, bool) for b in flags.values())
+
+
+def test_blocklist_filter_plan_broadcast_anti_no_page_shuffle(spark):
+    """100 TB posture pin: every domain probe is a broadcast hash LEFT
+    ANTI join; the pages side (which carries text) crosses NO shuffle
+    exchange, and the one broadcast relation is reused across probes."""
+    plan = (
+        blocklist_filter(_pages(spark), _bl(spark), max_labels=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "LeftAnti" in plan
+    # host equality + one probe per depth 2..4, all broadcast hash joins
+    assert plan.count("BroadcastHashJoin") == 4
+    # NEITHER side shuffles: pages stream through their scan splits, and
+    # the blocklist side is a plain projection under each broadcast
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
