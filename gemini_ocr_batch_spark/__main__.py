@@ -69,6 +69,9 @@ def main(argv: list[str] | None = None) -> int:
     cur_p.add_argument("--min-quality", type=int, default=None,
                        help="quality floor, x10000 fixed-point "
                             "(config curation.min_quality_x10000)")
+    cur_p.add_argument("--nfkc", action="store_true", default=None,
+                       help="NFKC-normalize text before fingerprinting "
+                            "(config: curation.normalize_nfkc)")
     cur_p.add_argument("--max-rep", type=int, default=None,
                        help="top-2-gram repetition ceiling, x10000 "
                             "(config curation.max_rep_x10000)")
@@ -270,12 +273,18 @@ def main(argv: list[str] | None = None) -> int:
             master=args.master or (cfg.spark.master if cfg else None),
             shuffle_partitions=(cfg.spark.shuffle_partitions if cfg else None),
         )
+        nfkc = (
+            args.nfkc
+            if args.nfkc is not None
+            else (cfg.curation.normalize_nfkc if cfg else False)
+        )
         stats = run_curation_job(
             spark,
             extracted,
             out_dir,
             min_quality_x10000=min_q,
             max_rep_x10000=max_r,
+            normalize_nfkc=nfkc,
         )
         print(json.dumps(stats))
         return 0

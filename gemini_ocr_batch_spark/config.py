@@ -90,6 +90,8 @@ class CurationConfig:
     min_quality_x10000: int = 3000
     max_rep_x10000: int = 5000
     curated_out: str | None = None
+    # NFKC-normalize text ahead of fingerprinting (kernels/normalize.py)
+    normalize_nfkc: bool = False
 
 
 @dataclass(frozen=True)
@@ -290,6 +292,9 @@ def validate_config(raw: dict, source: str = "<in-memory>") -> AppConfig:
             cur_sec, "curation", "max_rep_x10000", 5000, ctx, ge=0
         ),
         curated_out=curated_out,
+        normalize_nfkc=_opt_bool(
+            cur_sec, "curation", "normalize_nfkc", False, ctx
+        ),
     )
 
     dec_sec = _section(raw, "decontam", ctx)

@@ -18,6 +18,7 @@ __spark_entry__.local_parity()).
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type hints resolve here
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -258,6 +259,35 @@ def latest_snapshot(pages: DataFrame, key_col: str = "url",
     )
 
 
+def normalize_text(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   out_col: str | None = None) -> DataFrame:
+    """Unicode NFKC normalization + zero-width stripping over a text
+    column (see ``kernels/normalize.py`` for the rule rationale);
+    ``out_col=None`` replaces ``text_col`` in place, otherwise the
+    normalized text lands in a new column and the input passes through.
+
+    Engine-only (DuckDB has no NFKC): an Arrow-batched scalar pandas
+    UDF — pandas' vectorized ``Series.str.normalize`` — fuzz-pinned
+    against the independently written pure-python twin
+    ``kernels.normalize.normalize_text_py``.  A pure projection: no
+    shuffle, linear in bytes, embarrassingly parallel on the scan's own
+    splits.  Feed it AHEAD of fingerprinting/dedup (the
+    ``curation.normalize_nfkc`` config flag wires it into the curate
+    job) so NFC/NFKC renderings of one text share a fingerprint.
+    """
+    from gemini_ocr_batch_spark.kernels.normalize import ZERO_WIDTH
+
+    zw_re = "[" + ZERO_WIDTH + "]"
+
+    @F.pandas_udf("string")
+    def _nfkc(s: pd.Series) -> pd.Series:
+        return s.str.normalize("NFKC").str.replace(zw_re, "", regex=True)
+
+    target = out_col or text_col
+    return docs.withColumn(target, _nfkc(F.col(text_col)))
+
+
 def repetition_score(docs: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text", n: int = 2) -> DataFrame:
     """Gopher-style repetition: the fraction of all word n-grams occupied
@@ -441,6 +471,7 @@ def run_curation_job(
     out_dir: str,
     min_quality_x10000: int = 3000,
     max_rep_x10000: int = 5000,
+    normalize_nfkc: bool = False,
 ) -> dict:
     """The corpus-prep job over a finished extraction run: flag every
     success row (curation_flags keyed by url over extracted_text), write
@@ -459,6 +490,11 @@ def run_curation_job(
     from gemini_ocr_batch_spark.job import read_extracted
 
     rows = read_extracted(spark, extracted_dir)
+    if normalize_nfkc:
+        # NFKC ahead of fingerprinting: byte-different renderings of one
+        # text (fullwidth/ligature/NBSP/zero-width variants) collapse to
+        # a single canonical-selection cluster
+        rows = normalize_text(rows, id_col="url", text_col="extracted_text")
     flags_path = os.path.join(out_dir, "flags")
     corpus_path = os.path.join(out_dir, "corpus")
     curation_flags(
