@@ -123,6 +123,33 @@ def main(argv: list[str] | None = None) -> int:
     lk_p.add_argument("--out", required=True)
     lk_p.add_argument("--master", default=None)
 
+    ix_p = sub.add_parser(
+        "index",
+        help="build + persist an IVF ANN index over an embeddings table "
+             "(cells partitioned by centroid_id for pruned probes)",
+    )
+    ix_p.add_argument("--embeddings", required=True,
+                      help="parquet with (vec_id, embedding) columns")
+    ix_p.add_argument("--out", required=True, help="index directory")
+    ix_p.add_argument("--k-centroids", type=int, default=16)
+    ix_p.add_argument("--id-col", default="vec_id")
+    ix_p.add_argument("--vec-col", default="embedding")
+    ix_p.add_argument("--seed", type=int, default=7)
+    ix_p.add_argument("--master", default=None)
+
+    se_p = sub.add_parser(
+        "search",
+        help="top-k cosine search against a persisted IVF index "
+             "(reads only the probed cells' partitions)",
+    )
+    se_p.add_argument("--index", required=True,
+                      help="directory written by the index verb")
+    se_p.add_argument("--query", required=True,
+                      help="comma-separated floats (the query vector)")
+    se_p.add_argument("--k", type=int, default=10)
+    se_p.add_argument("--n-probe", type=int, default=4)
+    se_p.add_argument("--master", default=None)
+
     st_p = sub.add_parser("status", help="checkpoint + lineage summary")
     st_p.add_argument("--config", default=None,
                       help="same config as `run` — needed to point status "
@@ -395,6 +422,52 @@ def main(argv: list[str] | None = None) -> int:
                     "n_pages_with_links": int(audit["n_pages_with_links"]),
                     "edges_path": edges_path,
                     "domain_pairs_path": domains_path,
+                }
+            )
+        )
+        return 0
+
+    if args.verb == "index":
+        from gemini_ocr_batch_spark.operators.similarity import run_index_job
+
+        spark = get_spark(master=args.master)
+        meta = run_index_job(
+            spark,
+            args.embeddings,
+            args.out,
+            k_centroids=args.k_centroids,
+            id_col=args.id_col,
+            vec_col=args.vec_col,
+            seed=args.seed,
+        )
+        print(json.dumps(meta))
+        return 0
+
+    if args.verb == "search":
+        from gemini_ocr_batch_spark.operators.similarity import (
+            ivf_search_persisted,
+        )
+
+        try:
+            query_vec = [float(x) for x in args.query.split(",") if x != ""]
+        except ValueError:
+            print("--query must be comma-separated floats", file=sys.stderr)
+            return 2
+        spark = get_spark(master=args.master)
+        hits = ivf_search_persisted(
+            spark, args.index, query_vec, k=args.k, n_probe=args.n_probe
+        ).collect()
+        print(
+            json.dumps(
+                {
+                    "hits": [
+                        {
+                            "id": r["id"],
+                            "rank": int(r["rank"]),
+                            "cosine": round(float(r["cosine"]), 6),
+                        }
+                        for r in hits
+                    ]
                 }
             )
         )

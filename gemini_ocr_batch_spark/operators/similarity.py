@@ -316,6 +316,98 @@ def ivf_probe_order(
     return sorted(range(len(centroids)), key=lambda i: -cos(centroids[i]))
 
 
+def ivf_write_index(
+    index_df: DataFrame,
+    centroids: list[list[float]],
+    path: str,
+) -> dict:
+    """Persist an IVF index: cells as parquet PARTITIONED BY centroid_id
+    (each cell its own directory, so a probe is a partition-pruned read
+    that never opens unprobed cells' files) + the k×dim centroid matrix
+    as a driver-side JSON sidecar (kilobytes; every searcher needs it in
+    memory to rank probes anyway).
+
+    This is the job form the in-memory ``ivf_build`` docstring promises:
+    build once, then any number of searches pay only
+    ``n_probe/k_centroids`` of the corpus per query.
+    """
+    import json
+    import os
+
+    cells = os.path.join(path, "cells")
+    index_df.write.mode("overwrite").partitionBy("centroid_id").parquet(
+        cells
+    )
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "centroids.json"), "w") as fh:
+        json.dump({"centroids": centroids}, fh)
+    return {
+        "cells_path": cells,
+        "k_centroids": len(centroids),
+        "dim": len(centroids[0]) if centroids else 0,
+    }
+
+
+def ivf_read_index(spark, path: str):
+    """(index_df, centroids) back from :func:`ivf_write_index`'s layout.
+    The returned frame is the lazily-pruned scan — filter it by
+    ``centroid_id`` literals BEFORE any action so only probed cell
+    directories are ever read."""
+    import json
+    import os
+
+    with open(os.path.join(path, "centroids.json")) as fh:
+        centroids = json.load(fh)["centroids"]
+    index_df = spark.read.parquet(os.path.join(path, "cells"))
+    return index_df, centroids
+
+
+def ivf_search_persisted(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Top-k over a PERSISTED IVF index: rank centroids driver-side,
+    then :func:`ivf_topk` over the pruned scan — the literal
+    ``centroid_id IN (...)`` predicate lands in the parquet scan's
+    PartitionFilters (pinned by test), so unprobed cells cost nothing,
+    not even a footer read."""
+    index_df, centroids = ivf_read_index(spark, path)
+    return ivf_topk(index_df, centroids, query_vec, k=k, n_probe=n_probe)
+
+
+def run_index_job(
+    spark,
+    embeddings_path: str,
+    out_dir: str,
+    k_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> dict:
+    """The ANN-service build job: embeddings parquet → persisted IVF
+    index (sampled KMeans fit + one assignment pass + partitioned
+    write), returning audit counts per cell."""
+    embeddings = spark.read.parquet(embeddings_path)
+    index_df, centroids = ivf_build(
+        embeddings, k_centroids=k_centroids, id_col=id_col,
+        vec_col=vec_col, seed=seed,
+    )
+    meta = ivf_write_index(index_df, centroids, out_dir)
+    cells = spark.read.parquet(meta["cells_path"])
+    sizes = {
+        int(r["centroid_id"]): int(r["n"])
+        for r in cells.groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    meta["n_vectors"] = sum(sizes.values())
+    meta["cell_sizes"] = [sizes.get(i, 0) for i in range(len(centroids))]
+    return meta
+
+
 def ivf_topk(
     index_df: DataFrame,
     centroids: list[list[float]],
