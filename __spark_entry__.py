@@ -1861,6 +1861,69 @@ _GOPHER_FLAGS_ORACLE = """
         """
 
 
+def _q_repeated_spans(spark, sf_dir):
+    # r6 substring-level dedup: a 12-token sentence planted on every
+    # doc_id%7==0 document guarantees cross-document 8-gram runs (5 full
+    # windows inside the plant); natural verbatim repeats in the
+    # synthetic corpus surface too — the oracle replays the same rule.
+    from gemini_ocr_batch_spark.operators.dedup import repeated_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.lit(" repeated span marker tokens alpha beta gamma"
+                      " delta epsilon zeta eta theta"),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return repeated_spans(seeded, k=8, min_docs=2)
+
+
+def _repeated_spans_oracle_sql(k: int = 8) -> str:
+    from gemini_ocr_batch_spark.functions.hashing import h60_sql_duckdb
+
+    return f"""
+            WITH seeded AS (
+              SELECT doc_id,
+                     text || CASE WHEN doc_id % 7 = 0
+                       THEN ' repeated span marker tokens alpha beta gamma'
+                            || ' delta epsilon zeta eta theta'
+                       ELSE '' END AS text
+              FROM documents
+            ),
+            tok AS (
+              SELECT doc_id AS doc, {_TOKENS} AS toks FROM seeded
+            ),
+            g AS (
+              SELECT doc, i - 1 AS pos,
+                     array_to_string(toks[i : i + {k - 1}], ' ') AS gram
+              FROM tok, generate_series(1, 512) AS gs(i)
+              WHERE i <= len(toks) - {k - 1}
+            ),
+            h AS (SELECT doc, pos, {h60_sql_duckdb('gram')} AS h FROM g),
+            dup AS (
+              SELECT h FROM h GROUP BY h
+              HAVING count(DISTINCT doc) >= 2
+            ),
+            m AS (SELECT doc, pos FROM h JOIN dup USING (h)),
+            r AS (
+              SELECT doc, pos,
+                     pos - row_number() OVER (PARTITION BY doc
+                                              ORDER BY pos) AS grp
+              FROM m
+            )
+            SELECT doc AS doc_id,
+                   CAST(min(pos) AS INT) AS start_pos,
+                   CAST(count(*) AS BIGINT) AS n_grams,
+                   CAST(count(*) + {k - 1} AS BIGINT) AS span_tokens
+            FROM r GROUP BY doc, grp ORDER BY doc_id, start_pos
+        """
+
+
 def _q_blocklist_flags(spark, sf_dir):
     # r6 URL/domain blocklist: hosts synthesized from doc_id%5 exercise
     # every match mode — exact host, direct + deep subdomain suffix,
@@ -2298,6 +2361,10 @@ def local_parity() -> dict[str, tuple]:
         "blocklist_flags": (
             _q_blocklist_flags,
             _BLOCKLIST_FLAGS_ORACLE,
+        ),
+        "repeated_spans": (
+            _q_repeated_spans,
+            _repeated_spans_oracle_sql(),
         ),
         "stream_dedup_twin": (
             _q_stream_dedup_twin,

@@ -382,6 +382,78 @@ def winnow_overlap_pairs(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def repeated_spans(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", k: int = 8,
+                   min_docs: int = 2, max_df: int | None = None,
+                   min_run: int = 1) -> DataFrame:
+    """Substring-level dedup (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better"): per document, the maximal token
+    spans whose every ``k``-token window also appears verbatim in at
+    least ``min_docs - 1`` OTHER documents — the copied-paragraph /
+    syndicated-article case that document-level and line-level dedup
+    both miss.
+
+    Bounded construction, not suffix arrays: position-indexed ``k``-gram
+    hashes (the existing shingle infra) are grouped to find cross-
+    document grams, then per-document RUNS of consecutive flagged
+    positions become spans — a span of ``g`` consecutive shared grams
+    covers ``g + k - 1`` tokens, and any cross-document substring of
+    ≥ ``k`` tokens is guaranteed to surface (it contains a full window).
+    ``max_df`` drops grams present in more than that many documents
+    (site boilerplate — same stop-fingerprint discipline as
+    :func:`winnow_overlap_pairs`); ``min_run`` filters spans shorter
+    than that many grams.
+
+    Returns (doc_id, start_pos, n_grams, span_tokens) ordered by
+    (doc_id, start_pos); ``start_pos`` is the 0-based token position.
+
+    Scale shape: gram text is hashed in the explode projection, so the
+    cross-document election shuffles only (doc, pos, hash) triples; the
+    run detection is a single window + same-key aggregation — one
+    hashpartitioning(doc) exchange of slim triples, reused by the
+    groupBy (clustering on (doc, grp) is satisfied by doc partitioning).
+    Text never crosses any exchange, and there is no pairwise join at
+    all — corpus-linear where true suffix-array dedup is superlinear.
+    """
+    from pyspark.sql import Window
+
+    from gemini_ocr_batch_spark.functions.hashing import h60
+
+    grams = spread_small_input(docs).select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(shingles(tokens(text_col), k)).alias("pos", "gram"),
+    )
+    positions = grams.select("doc", "pos", h60(F.col("gram")).alias("h"))
+    df_counts = positions.groupBy("h").agg(
+        F.count_distinct("doc").alias("df")
+    )
+    dup = df_counts.filter(F.col("df") >= int(min_docs))
+    if max_df is not None:
+        dup = dup.filter(F.col("df") <= int(max_df))
+    marked = positions.join(dup.select("h"), "h", "semi")
+    w = Window.partitionBy("doc").orderBy("pos")
+    runs = marked.withColumn(
+        "grp", F.col("pos") - F.row_number().over(w)
+    )
+    return (
+        runs.groupBy("doc", "grp")
+        .agg(
+            F.min("pos").cast("int").alias("start_pos"),
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+        )
+        .filter(F.col("n_grams") >= int(min_run))
+        .select(
+            F.col("doc").alias(id_col),
+            "start_pos",
+            "n_grams",
+            (F.col("n_grams") + F.lit(k - 1)).cast("bigint").alias(
+                "span_tokens"
+            ),
+        )
+        .orderBy(id_col, "start_pos")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Duplicate components: pairs → clusters → keep-list
 # ---------------------------------------------------------------------------

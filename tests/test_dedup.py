@@ -239,3 +239,59 @@ def test_shingles_linear_in_document_length(spark):
     t1 = timed(8000)
     t2 = timed(32000)
     assert t2 <= 8 * t1 + 0.25, f"superlinear shingles: {t1:.3f}s -> {t2:.3f}s"
+
+
+def test_repeated_spans_planted_cross_doc(spark):
+    """Substring dedup (r6): a 10-token paragraph planted in two docs
+    must surface as one maximal span per doc (3 consecutive 8-gram hits
+    -> 10 covered tokens); the unrelated doc stays clean."""
+    from gemini_ocr_batch_spark.operators.dedup import repeated_spans
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, "unique opening words here today " + shared + " tail one"),
+        (2, "different start tokens right now " + shared + " other end"),
+        (3, "totally unrelated content with no overlap at all whatsoever"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = repeated_spans(df, k=8).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == {1, 2}
+    for doc in (1, 2):
+        (span,) = by_doc[doc]
+        assert span["n_grams"] == 3 and span["span_tokens"] == 10
+    # doc 1: shared starts at token 5 (0-based) — the span start is the
+    # first gram fully inside the shared region
+    assert by_doc[1][0]["start_pos"] == 5
+
+    # max_df: a cap below the span's document frequency silences it
+    assert repeated_spans(df, k=8, max_df=1).count() == 0
+    # min_run: spans shorter than the run floor are dropped
+    assert repeated_spans(df, k=8, min_run=4).count() == 0
+    assert repeated_spans(df, k=8, min_run=3).count() == 2
+
+
+def test_repeated_spans_multiple_spans_per_doc(spark):
+    """Two separated shared regions in one doc must come back as two
+    spans, not one merged run."""
+    from gemini_ocr_batch_spark.operators.dedup import repeated_spans
+
+    s1 = "one two three four five six seven eight"          # 8 tokens
+    s2 = "red orange yellow green blue indigo violet mauve"  # 8 tokens
+    rows = [
+        (1, s1 + " ax bx cx dx ex fx gx hx ix " + s2),
+        (2, "p q r s t u v w " + s1),
+        (3, s2 + " m n o pp qq rr ss tt"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = {
+        (r["doc_id"], r["start_pos"]): (r["n_grams"], r["span_tokens"])
+        for r in repeated_spans(df, k=8).collect()
+    }
+    # doc 1 has both shared regions: s1 at 0, s2 at 17 (8 + 9 fillers)
+    assert spans[(1, 0)] == (1, 8) and spans[(1, 17)] == (1, 8)
+    assert spans[(2, 8)] == (1, 8)
+    assert spans[(3, 0)] == (1, 8)
+    assert len(spans) == 4
