@@ -197,55 +197,69 @@ def latest_snapshot(pages: DataFrame, key_col: str = "url",
     deterministically — parameterized so key/ts-generic inputs without a
     ``text`` column still analyze.
 
-    Scale notes — two shapes, pick by storage layout:
+    Scale notes — two shapes, MEASURED in BENCH.md (r6, 1.1M skewed
+    snapshots, 400-capture hot keys):
 
-    - ``slim=False`` (default): a single ``row_number`` window = ONE
-      hash shuffle on the key, streaming frame.  Deliberately not
-      ``groupBy(max(ts)) + self-join`` — that shuffles the table twice.
-      Full rows (including text/blob payloads) cross the one exchange.
-    - ``slim=True``: winners are elected over ONLY (key, ts, tiebreak
+    - ``slim=False`` (default): a single ``row_number`` window.  On a
+      plain source that is ONE hash shuffle of full rows; on a source
+      bucketed by the key (the Iceberg crawl-store layout) the bucket
+      clustering satisfies the window's distribution and the plan has
+      ZERO exchanges — text never moves at all (plan-pinned).  Won both
+      layouts in the bench (2.0 s plain / 0.22 s bucketed).
+    - ``slim=True``: winners elected over ONLY (key, ts, tiebreak
       digest) — the window exchange carries three slim columns — then an
-      equi-join on (key, ts, digest) re-selects the winning full rows.
-      On a source bucketed/partitioned by the key (the Iceberg layout a
-      crawl store uses) the big side joins WITHOUT a shuffle, so page
-      payloads never cross an exchange; on an unbucketed source the join
-      itself shuffles and the default single-window form is cheaper (see
-      BENCH.md for the measured crossover).  Caveat: rows byte-equal on
-      all three of (key, ts, tiebreak digest) all survive in slim mode
-      (the window form keeps exactly one); such rows are exact capture
-      duplicates, upstream exact-dedup territory.
+      equi-join on those re-selects the winning full rows.  Measured
+      SLOWER at both layouts (4.9 s plain / 0.49 s bucketed): on plain
+      sources the join re-shuffles the probe side anyway, on bucketed
+      sources the window is already exchange-free.  It remains for the
+      one niche it wins: an UNBUCKETED source whose distinct-key winner
+      set is small enough for AQE to broadcast, where the probe side
+      then streams unshuffled.  Caveat: rows byte-equal on all three of
+      (key, ts, tiebreak digest) all survive in slim mode (the window
+      form keeps exactly one); such rows are exact capture duplicates,
+      upstream exact-dedup territory.
     """
     key = canonical_url_col(F.col(key_col)) if canonicalize else F.col(key_col)
     tb = F.md5(F.coalesce(F.col(tiebreak_col).cast("string"), F.lit("")))
     if slim:
-        slim_rows = pages.select(
-            key.alias("__key"),
+        # probe side joins on the RAW key column when possible so a
+        # bucketed/bucket-sorted source's layout is recognized and the
+        # big side needs no exchange; a canonicalized (derived) key can
+        # never match a storage layout, so only then is a helper added
+        if canonicalize:
+            probe = pages.withColumn("__ckey", key)
+            probe_key = "__ckey"
+        else:
+            probe = pages
+            probe_key = key_col
+        slim_rows = probe.select(
+            F.col(probe_key).alias("__k"),
             F.col(ts_col).alias("__ts"),
             tb.alias("__tb"),
         )
-        w = Window.partitionBy("__key").orderBy(F.desc("__ts"), "__tb")
+        w = Window.partitionBy("__k").orderBy(F.desc("__ts"), "__tb")
         winners = (
             slim_rows.withColumn("rn", F.row_number().over(w))
             .withColumn(
                 "n_snapshots",
                 F.count(F.lit(1))
-                .over(Window.partitionBy("__key"))
+                .over(Window.partitionBy("__k"))
                 .cast("int"),
             )
             .filter(F.col("rn") == 1)
-            .select("__key", "__ts", "__tb", "n_snapshots")
+            .select("__k", "__ts", "__tb", "n_snapshots")
         )
-        keyed = pages.withColumn("__key", key).withColumn("__tb", tb)
+        probe = probe.withColumn("__ptb", tb)
         cond = (
-            (keyed["__key"] == winners["__key"])
-            & (keyed[ts_col] == winners["__ts"])
-            & (keyed["__tb"] == winners["__tb"])
+            (probe[probe_key] == winners["__k"])
+            & (probe[ts_col] == winners["__ts"])
+            & (probe["__ptb"] == winners["__tb"])
         )
-        return (
-            keyed.join(winners, cond)
-            .drop(winners["__key"])
-            .drop("__ts", "__tb", "__key")
+        out = (
+            probe.join(winners, cond)
+            .drop("__k", "__ts", "__tb", "__ptb")
         )
+        return out.drop("__ckey") if canonicalize else out
     keyed = pages.withColumn("__key", key)
     w = Window.partitionBy("__key").orderBy(F.desc(ts_col), tb)
     return (

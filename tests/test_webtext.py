@@ -338,6 +338,37 @@ def test_latest_snapshot_tiebreak_col_generic_input(spark):
     assert got[0]["payload"] == int(win)
 
 
+def test_latest_snapshot_bucketed_source_zero_exchange(spark, tmp_path):
+    """The 100 TB posture pin (r6 bench finding): on a source bucketed
+    by the key, the default window form's distribution requirement is
+    satisfied by the bucket layout — NO exchange at all, page payloads
+    never move. This is why the window form beats the slim join-back on
+    the crawl-store layout (BENCH.md r6)."""
+    from pyspark.sql import functions as F
+
+    from gemini_ocr_batch_spark.operators.webtext import latest_snapshot
+
+    df = spark.range(500).select(
+        F.concat(F.lit("u"), (F.col("id") % 50).cast("string")).alias("url"),
+        F.col("id").alias("warc_ts"),
+        F.col("id").cast("string").alias("text"),
+    )
+    spark.sql("DROP TABLE IF EXISTS snap_bucket_pin")
+    df.write.bucketBy(8, "url").sortBy("url", "warc_ts").saveAsTable(
+        "snap_bucket_pin"
+    )
+    try:
+        t = spark.table("snap_bucket_pin")
+        plan = (
+            latest_snapshot(t)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange hashpartitioning" not in plan
+        assert latest_snapshot(t).count() == 50
+    finally:
+        spark.sql("DROP TABLE IF EXISTS snap_bucket_pin")
+
+
 def test_latest_snapshot_canonicalize_collapses_variants(spark):
     from gemini_ocr_batch_spark.operators.webtext import latest_snapshot
 
@@ -351,6 +382,10 @@ def test_latest_snapshot_canonicalize_collapses_variants(spark):
     canon = latest_snapshot(df, canonicalize=True).collect()
     assert len(canon) == 1
     assert canon[0]["text"] == "bare" and canon[0]["n_snapshots"] == 2
+    # slim winner election agrees under canonicalized (derived) keys too
+    slim = latest_snapshot(df, canonicalize=True, slim=True).collect()
+    assert len(slim) == 1
+    assert slim[0]["text"] == "bare" and slim[0]["n_snapshots"] == 2
 
 
 def test_gopher_quality_flags_hand_computed(spark):
