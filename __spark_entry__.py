@@ -1802,7 +1802,12 @@ def _q_gopher_flags(spark, sf_dir):
     seeded = docs.select(
         "doc_id", F.concat(F.col("text"), suffix).alias("text")
     )
-    return gopher_quality_flags(seeded)
+    # fixture-scaled thresholds: driver documents run 10-99 tokens with
+    # ~0.7 stopword hits on average, so the published 50-word/2-stopword
+    # floors would zero every flag; 20 words / 1 stopword keeps every
+    # rule's pass/fail axis populated (the operator defaults stay at the
+    # published values)
+    return gopher_quality_flags(seeded, min_words=20, min_stopword_hits=1)
 
 
 _GOPHER_FLAGS_ORACLE = """
@@ -1834,7 +1839,14 @@ _GOPHER_FLAGS_ORACLE = """
                      CAST(len(string_split(text, chr(10))) AS BIGINT) AS l,
                      CAST(len(list_filter(regexp_split_to_array(
                           trim(lower(text)), '\\s+'),
-                          x -> regexp_matches(x, '\\p{L}'))) AS BIGINT) AS a
+                          x -> regexp_matches(x, '\\p{L}'))) AS BIGINT) AS a,
+                     CAST(COALESCE(list_aggregate(list_transform(
+                          regexp_split_to_array(trim(lower(text)), '\\s+'),
+                          x -> length(x)), 'sum'), 0) AS BIGINT) AS c,
+                     CAST(len(list_intersect(
+                          regexp_split_to_array(trim(lower(text)), '\\s+'),
+                          ['the','be','to','of','and','that','have','with']
+                          )) AS BIGINT) AS s
               FROM seeded
             ),
             ratios AS (
@@ -1844,19 +1856,30 @@ _GOPHER_FLAGS_ORACLE = """
                      (b * 10000) // greatest(l, 1) AS bullet_frac_x10000,
                      (e * 10000) // greatest(l, 1)
                        AS ellipsis_frac_x10000,
-                     (a * 10000) // greatest(w, 1) AS alpha_frac_x10000
+                     (a * 10000) // greatest(w, 1) AS alpha_frac_x10000,
+                     w AS n_words,
+                     (c * 100) // greatest(w, 1) AS word_len_x100,
+                     s AS stopword_hits
               FROM feat
             )
             SELECT doc_id, symbol_ratio_x10000, bullet_frac_x10000,
                    ellipsis_frac_x10000, alpha_frac_x10000,
+                   n_words, word_len_x100, stopword_hits,
                    symbol_ratio_x10000 <= 1000 AS symbol_ok,
                    bullet_frac_x10000 <= 9000 AS bullet_ok,
                    ellipsis_frac_x10000 <= 3000 AS ellipsis_ok,
                    alpha_frac_x10000 >= 8000 AS alpha_ok,
+                   (n_words >= 20 AND n_words <= 100000) AS word_count_ok,
+                   (word_len_x100 >= 300 AND word_len_x100 <= 1000)
+                     AS word_len_ok,
+                   stopword_hits >= 1 AS stopword_ok,
                    (symbol_ratio_x10000 <= 1000
                     AND bullet_frac_x10000 <= 9000
                     AND ellipsis_frac_x10000 <= 3000
-                    AND alpha_frac_x10000 >= 8000) AS gopher_ok
+                    AND alpha_frac_x10000 >= 8000
+                    AND n_words >= 20 AND n_words <= 100000
+                    AND word_len_x100 >= 300 AND word_len_x100 <= 1000
+                    AND stopword_hits >= 1) AS gopher_ok
             FROM ratios ORDER BY doc_id
         """
 

@@ -62,6 +62,10 @@ class CrawlWindow:
 class FiltersConfig:
     langs: list[str] | None = None
     crawl_window: CrawlWindow | None = None
+    # URL/domain blocklist (r6): path to a domains file (one registrable
+    # domain per line, '#' comments) + literal url regex rules
+    blocklist_path: str | None = None
+    url_patterns: list[str] | None = None
 
 
 @dataclass(frozen=True)
@@ -240,7 +244,23 @@ def validate_config(raw: dict, source: str = "<in-memory>") -> AppConfig:
                     )
                 else:
                     window = CrawlWindow(start=start, end=end)
-    filters = FiltersConfig(langs=langs, crawl_window=window)
+    blocklist_path = f_sec.get("blocklist_path")
+    if blocklist_path is not None and (
+        not isinstance(blocklist_path, str) or not blocklist_path.strip()
+    ):
+        ctx.err("filters.blocklist_path", "must be a non-empty string")
+        blocklist_path = None
+    url_patterns = f_sec.get("url_patterns")
+    if url_patterns is not None and (
+        not isinstance(url_patterns, list)
+        or not all(isinstance(x, str) and x for x in url_patterns)
+    ):
+        ctx.err("filters.url_patterns",
+                "must be a list of non-empty regex strings")
+        url_patterns = None
+    filters = FiltersConfig(langs=langs, crawl_window=window,
+                            blocklist_path=blocklist_path,
+                            url_patterns=url_patterns)
 
     e_sec = _section(raw, "execution", ctx)
     execution = ExecutionConfig(

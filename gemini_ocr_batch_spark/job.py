@@ -430,8 +430,10 @@ def apply_input_filters(pages: DataFrame, filters) -> DataFrame:
     """Config-driven input pre-filters (config.FiltersConfig): membership
     on ``lang`` (P1) + date range on ``warc_ts`` (P2) — the analog of the
     reference's target_states/target_years scan filters (reference:
-    src/scanner.py:60-77). Plain column predicates, so they push down to
-    the parquet scan."""
+    src/scanner.py:60-77) — plus the r6 URL/domain blocklist (broadcast
+    anti-join + literal pattern predicate; operators/blocklist.py).
+    The column predicates push down to the parquet scan; the blocklist
+    probes add no shuffle on the pages side."""
     if filters is None:
         return pages
     out = pages
@@ -445,6 +447,23 @@ def apply_input_filters(pages: DataFrame, filters) -> DataFrame:
                 F.col("warc_ts")
                 < F.date_add(F.lit(window.end.isoformat()), 1)
             )
+        )
+    blocklist_path = getattr(filters, "blocklist_path", None)
+    url_patterns = getattr(filters, "url_patterns", None)
+    if blocklist_path or url_patterns:
+        from gemini_ocr_batch_spark.operators.blocklist import (
+            blocklist_filter,
+        )
+
+        domains = None
+        if blocklist_path:
+            domains = (
+                pages.sparkSession.read.text(blocklist_path)
+                .select(F.col("value").alias("domain"))
+                .filter(~F.col("domain").startswith("#"))
+            )
+        out = blocklist_filter(
+            out, domains, patterns=list(url_patterns or ())
         )
     return out
 

@@ -89,16 +89,33 @@ def canonicalize_urls(pages: DataFrame, url_col: str = "url") -> DataFrame:
     ).orderBy(url_col)
 
 
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
 def gopher_quality_flags(docs: DataFrame, id_col: str = "doc_id",
                          text_col: str = "text",
                          max_symbol_x10000: int = 1000,
                          max_bullet_x10000: int = 9000,
                          max_ellipsis_x10000: int = 3000,
-                         min_alpha_x10000: int = 8000) -> DataFrame:
-    """The remaining Gopher repetition-adjacent quality rules (Rae et
-    al. 2021 §A1.1, public): symbol-to-word ratio ('#' and '...'),
-    fraction of bullet-started lines, fraction of ellipsis-ended lines,
-    fraction of words containing an alphabetic character.
+                         min_alpha_x10000: int = 8000,
+                         min_words: int = 50,
+                         max_words: int = 100_000,
+                         min_word_len_x100: int = 300,
+                         max_word_len_x100: int = 1000,
+                         min_stopword_hits: int = 2) -> DataFrame:
+    """The Gopher document-quality rules (Rae et al. 2021 §A1.1,
+    public): symbol-to-word ratio ('#' and ellipses), fraction of
+    bullet-started lines, fraction of ellipsis-ended lines, fraction of
+    words containing an alphabetic character, word-count bounds
+    [min_words, max_words], mean word length bounds (fixed-point x100,
+    published 3-10 chars), and presence of at least
+    ``min_stopword_hits`` of the 8 published English stopwords.
+
+    The stopword rule (and the published thresholds generally) are
+    ENGLISH-calibrated — a multilingual pass should set
+    ``min_stopword_hits=0`` or gate per-language; the alpha rule itself
+    is Unicode-correct (``\\p{L}``), so non-Latin scripts are not
+    structurally zeroed (r5 ADVICE).
 
     All four are pure column expressions over the row (split + HOF
     filters whose lambdas touch only their argument and literals — the
@@ -136,10 +153,18 @@ def gopher_quality_flags(docs: DataFrame, id_col: str = "doc_id",
         F.filter(lines, lambda l: l.rlike(r"\.\.\.\s*$|…\s*$"))
     )
     n_alpha = F.size(F.filter(toks, lambda w: w.rlike(r"\p{L}")))
+    n_chars = F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda acc, w: acc + F.length(w)
+    )
+    n_stop = F.size(
+        F.array_intersect(
+            toks, F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+        )
+    )
 
-    def ratio(num, den):
+    def ratio(num, den, scale=10000):
         return F.expr(
-            f"CAST(({num} * 10000) div greatest({den}, 1) AS BIGINT)"
+            f"CAST(({num} * {scale}) div greatest({den}, 1) AS BIGINT)"
         )
 
     out = docs.select(
@@ -151,18 +176,26 @@ def gopher_quality_flags(docs: DataFrame, id_col: str = "doc_id",
         n_ell_lines.cast("bigint").alias("__e"),
         n_lines.cast("bigint").alias("__l"),
         n_alpha.cast("bigint").alias("__a"),
+        n_chars.alias("__c"),
+        n_stop.cast("bigint").alias("__s"),
     ).select(
         id_col,
         ratio("__sym", "__w").alias("symbol_ratio_x10000"),
         ratio("__b", "__l").alias("bullet_frac_x10000"),
         ratio("__e", "__l").alias("ellipsis_frac_x10000"),
         ratio("__a", "__w").alias("alpha_frac_x10000"),
+        F.col("__w").alias("n_words"),
+        ratio("__c", "__w", 100).alias("word_len_x100"),
+        F.col("__s").alias("stopword_hits"),
     ).select(
         id_col,
         "symbol_ratio_x10000",
         "bullet_frac_x10000",
         "ellipsis_frac_x10000",
         "alpha_frac_x10000",
+        "n_words",
+        "word_len_x100",
+        "stopword_hits",
         (F.col("symbol_ratio_x10000") <= max_symbol_x10000).alias(
             "symbol_ok"
         ),
@@ -173,10 +206,20 @@ def gopher_quality_flags(docs: DataFrame, id_col: str = "doc_id",
             "ellipsis_ok"
         ),
         (F.col("alpha_frac_x10000") >= min_alpha_x10000).alias("alpha_ok"),
+        (
+            (F.col("n_words") >= min_words)
+            & (F.col("n_words") <= max_words)
+        ).alias("word_count_ok"),
+        (
+            (F.col("word_len_x100") >= min_word_len_x100)
+            & (F.col("word_len_x100") <= max_word_len_x100)
+        ).alias("word_len_ok"),
+        (F.col("stopword_hits") >= min_stopword_hits).alias("stopword_ok"),
     ).withColumn(
         "gopher_ok",
         F.col("symbol_ok") & F.col("bullet_ok") & F.col("ellipsis_ok")
-        & F.col("alpha_ok"),
+        & F.col("alpha_ok") & F.col("word_count_ok")
+        & F.col("word_len_ok") & F.col("stopword_ok"),
     ).orderBy(id_col)
     return out
 

@@ -94,3 +94,55 @@ def test_blocklist_filter_plan_broadcast_anti_no_page_shuffle(spark):
     assert "Exchange rangepartitioning" not in plan
     assert "SortMergeJoin" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_apply_input_filters_blocklist_integration(spark, tmp_path):
+    """filters.blocklist_path + filters.url_patterns drive the r6
+    blocklist inside the job's input-filter stage."""
+    from gemini_ocr_batch_spark.config import FiltersConfig
+    from gemini_ocr_batch_spark.job import apply_input_filters
+
+    bl_file = tmp_path / "blocked_domains.txt"
+    bl_file.write_text("# crawl blocklist\nads.example.com\ntracker.net\n")
+    pages = _pages(spark).withColumn("lang", __import__(
+        "pyspark.sql.functions", fromlist=["lit"]).lit("en"))
+    filters = FiltersConfig(
+        blocklist_path=str(bl_file), url_patterns=["/casino/"]
+    )
+    kept = apply_input_filters(pages, filters)
+    assert sorted(r["url"] for r in kept.collect()) == [
+        "https://example.com/fine",
+        "https://good.org/page",
+        "not a url at all",
+    ]
+    # no filters -> passthrough
+    assert apply_input_filters(pages, FiltersConfig()).count() == len(PAGES)
+
+
+def test_config_parses_blocklist_fields(tmp_path):
+    from gemini_ocr_batch_spark.config import (
+        ConfigError,
+        load_config,
+    )
+
+    good = tmp_path / "good.yaml"
+    good.write_text(
+        "paths:\n  pages: /p\n  out: /o\n"
+        "filters:\n  blocklist_path: /bl/domains.txt\n"
+        "  url_patterns: ['/casino/', '\\.xxx/']\n"
+    )
+    cfg = load_config(str(good))
+    assert cfg.filters.blocklist_path == "/bl/domains.txt"
+    assert cfg.filters.url_patterns == ["/casino/", "\\.xxx/"]
+
+    bad = tmp_path / "bad.yaml"
+    bad.write_text(
+        "paths:\n  pages: /p\n  out: /o\n"
+        "filters:\n  blocklist_path: ''\n  url_patterns: [3]\n"
+    )
+    try:
+        load_config(str(bad))
+        raise AssertionError("expected ConfigError")
+    except ConfigError as exc:
+        assert "filters.blocklist_path" in str(exc)
+        assert "filters.url_patterns" in str(exc)

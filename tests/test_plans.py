@@ -15,6 +15,10 @@ from gemini_ocr_batch_spark.plans import (
 )
 
 QS = em.queries()
+# r6 rotation moved some pinned queries to the local-parity registry;
+# the plan pins keep running against them from there
+QS.update({name: fn for name, (fn, _sql) in em.local_parity().items()
+           if name not in QS})
 
 
 def test_resume_anti_join_broadcasts(spark, sf_dir):
@@ -110,8 +114,7 @@ def test_decontaminate_broadcasts_and_never_shuffles_text(spark, sf_dir):
     only (id, shingle-hash) pairs and slim hit counts move."""
     from gemini_ocr_batch_spark.plans import formatted_plan
 
-    fn = em.local_parity()["decontaminate"][0]
-    df = fn(spark, sf_dir)
+    df = QS["decontaminate"](spark, sf_dir)  # driver-registered since r6
     assert uses_broadcast_join(df)
     fp = formatted_plan(df)
     exchange_sections = [

@@ -402,7 +402,15 @@ def test_gopher_quality_flags_hand_computed(spark):
         (8, "wait… wait… wait… go"),            # unicode ellipsis = symbol
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
-    got = {r["doc_id"]: r for r in gopher_quality_flags(df).collect()}
+    # legacy four-rule axis: neutralize the r6 word-count / word-length /
+    # stopword rules so the per-rule assertions below stay exact
+    got = {
+        r["doc_id"]: r
+        for r in gopher_quality_flags(
+            df, min_words=1, min_word_len_x100=0,
+            max_word_len_x100=100_000, min_stopword_hits=0,
+        ).collect()
+    }
     assert got[1]["gopher_ok"]
     assert got[1]["alpha_frac_x10000"] == 10000
     assert got[2]["symbol_ratio_x10000"] == 8333 and not got[2]["symbol_ok"]
@@ -421,6 +429,39 @@ def test_gopher_quality_flags_hand_computed(spark):
     # '…' counts toward the symbol ratio like '...': 3 symbols / 4 words
     assert got[8]["symbol_ratio_x10000"] == 7500
     assert got[8]["symbol_ok"] is False
+
+
+def test_gopher_word_count_length_stopword_rules(spark):
+    """The r6 completions of the published rule set: word-count bounds,
+    mean word length 3-10 chars (x100 fixed point), >=2 of the 8 Gopher
+    stopwords."""
+    from gemini_ocr_batch_spark.operators.webtext import (
+        gopher_quality_flags,
+    )
+
+    fifty = " ".join(
+        ["the", "be", "to", "of", "and"] * 2 + ["word"] * 40
+    )  # 50 words, stopword-rich
+    rows = [
+        (1, fifty),
+        (2, "too few words with the and of that"),      # 8 words < 50
+        (3, " ".join(["of", "supercalifragilistic"] * 25)),  # mean len 11
+        (4, " ".join(["a", "to", "of"] * 17)),          # mean len 1.67
+        (5, " ".join(["alpha", "bravo", "charlie"] * 17)),   # 0 stopwords
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in gopher_quality_flags(df).collect()}
+    assert got[1]["n_words"] == 50 and got[1]["word_count_ok"] is True
+    assert got[1]["stopword_hits"] == 5 and got[1]["stopword_ok"] is True
+    assert got[1]["word_len_ok"] is True and got[1]["gopher_ok"] is True
+    assert got[2]["word_count_ok"] is False and got[2]["gopher_ok"] is False
+    # doc 3: (2+20)/2 = 11 mean -> 1100 > 1000
+    assert got[3]["word_len_x100"] == 1100
+    assert got[3]["word_len_ok"] is False
+    # doc 4: (1+2+2)/3 ~ 1.66 -> 166 < 300
+    assert got[4]["word_len_x100"] == 166
+    assert got[4]["word_len_ok"] is False
+    assert got[5]["stopword_hits"] == 0 and got[5]["stopword_ok"] is False
 
 
 def test_gopher_quality_flags_stays_jvm_side(spark, sf_dir):
