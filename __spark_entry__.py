@@ -1947,6 +1947,62 @@ def _repeated_spans_oracle_sql(k: int = 8) -> str:
         """
 
 
+def _q_domain_quality_stats(spark, sf_dir):
+    # r6 per-domain curation rollup: three synthesized domains; every
+    # doc_id%5==0 page carries an identical seeded body, so each domain
+    # shows a predictable dup fraction and the quality mean mixes seeded
+    # + natural texts — all replayed by the oracle.
+    from gemini_ocr_batch_spark.operators.webtext import (
+        domain_quality_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    domain = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("alpha.example"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("beta.example"))
+        .otherwise(F.lit("gamma.example"))
+    )
+    pages = docs.select(
+        F.concat(
+            F.lit("https://"), domain, F.lit("/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.lit("duplicate seeded body text here"),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return domain_quality_stats(pages)
+
+
+def _domain_quality_stats_oracle_sql() -> str:
+    return f"""
+            WITH pages AS (
+              SELECT CASE doc_id % 3
+                       WHEN 0 THEN 'alpha.example'
+                       WHEN 1 THEN 'beta.example'
+                       ELSE 'gamma.example' END AS dom,
+                     CASE WHEN doc_id % 5 = 0
+                       THEN 'duplicate seeded body text here'
+                       ELSE text END AS text
+              FROM documents
+            ),
+            q AS (
+              SELECT dom, md5(text) AS fp,
+                     {_QUALITY_X10000_SQL} AS q
+              FROM pages
+            )
+            SELECT dom AS domain,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(DISTINCT fp) AS BIGINT) AS n_unique_text,
+                   CAST(((count(*) - count(DISTINCT fp)) * 10000)
+                        // count(*) AS BIGINT) AS dup_frac_x10000,
+                   CAST(CAST(sum(q) AS BIGINT) // count(*) AS BIGINT)
+                     AS mean_quality_x10000
+            FROM q GROUP BY dom ORDER BY domain
+        """
+
+
 def _q_blocklist_flags(spark, sf_dir):
     # r6 URL/domain blocklist: hosts synthesized from doc_id%5 exercise
     # every match mode — exact host, direct + deep subdomain suffix,
@@ -2388,6 +2444,10 @@ def local_parity() -> dict[str, tuple]:
         "repeated_spans": (
             _q_repeated_spans,
             _repeated_spans_oracle_sql(),
+        ),
+        "domain_quality_stats": (
+            _q_domain_quality_stats,
+            _domain_quality_stats_oracle_sql(),
         ),
         "stream_dedup_twin": (
             _q_stream_dedup_twin,

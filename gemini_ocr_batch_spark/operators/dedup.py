@@ -454,6 +454,63 @@ def repeated_spans(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def excise_spans(docs: DataFrame, spans: DataFrame,
+                 id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Rewrite documents with the given token spans REMOVED — the action
+    half of :func:`repeated_spans` (Lee et al. 2022 remove the repeated
+    substrings rather than whole documents).
+
+    ``spans`` is (id, start_pos, span_tokens) — typically
+    ``repeated_spans`` output, pre-filtered by the caller's keep policy
+    (e.g. keep the span in the min-id document and excise elsewhere).
+    Returns (id, text_excised, n_tokens, n_excised); documents with no
+    listed span pass through intact (n_excised = 0).
+
+    Positions refer to the same whitespace tokenization the span
+    detector used; the rewrite joins surviving tokens with single
+    spaces (original inter-token whitespace is not preserved — the
+    next consumer is a tokenizer, not a renderer).  Case IS preserved:
+    splitting is case-insensitive only in the hash domain.
+
+    Scale shape: spans collapse to one array per doc (bounded by
+    spans-per-doc, small by construction), the docs side joins on the
+    id — on an id-bucketed store, shuffle-free; the token filter is an
+    in-array index test, O(tokens × spans_per_doc) per row, no explode.
+    """
+    span_arrs = spans.groupBy(F.col(id_col).alias("__sid")).agg(
+        F.collect_list(
+            F.struct(
+                F.col("start_pos").alias("s"),
+                F.col("span_tokens").cast("int").alias("n"),
+            )
+        ).alias("__spans")
+    )
+    toks = tokens(F.col(text_col), lowercase=False)
+    joined = docs.join(
+        span_arrs, docs[id_col] == span_arrs["__sid"], "left"
+    ).drop("__sid")
+    kept = F.filter(
+        toks,
+        lambda t, i: ~F.exists(
+            F.coalesce(
+                F.col("__spans"),
+                F.array().cast("array<struct<s:int,n:int>>"),
+            ),
+            lambda sp: (i >= sp["s"]) & (i < sp["s"] + sp["n"]),
+        ),
+    )
+    return (
+        joined.select(
+            F.col(id_col),
+            F.array_join(kept, " ").alias("text_excised"),
+            F.size(toks).cast("int").alias("n_tokens"),
+            (F.size(toks) - F.size(kept)).cast("int").alias("n_excised"),
+        )
+        .orderBy(id_col)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Duplicate components: pairs → clusters → keep-list
 # ---------------------------------------------------------------------------

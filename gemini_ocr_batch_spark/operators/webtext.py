@@ -522,6 +522,66 @@ def line_dedup(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def domain_quality_stats(pages: DataFrame, url_col: str = "url",
+                         text_col: str = "text") -> DataFrame:
+    """Per-domain corpus quality rollup — the signal a domain-level
+    curation pass (RefinedWeb §3.1 runs its blocklist AND manual domain
+    inspection on exactly these numbers) ranks and thresholds to grow
+    the blocklist: (domain, n_docs, n_unique_text, dup_frac_x10000,
+    mean_quality_x10000), ordered by domain.
+
+    - ``dup_frac_x10000``: fraction of the domain's documents whose text
+      duplicates another document of the SAME domain (mirror/template
+      farms score high).
+    - ``mean_quality_x10000``: integer mean (sum div n — exact
+      cross-engine) of the shared composite quality score.
+
+    Scale shape: one slim projection (domain, 32-byte fingerprint,
+    quality bigint) feeds a two-level aggregation — (domain,
+    fingerprint) then domain — both map-side combinable; text never
+    leaves the scan, and the shuffled rows are bounded by distinct
+    (domain, fingerprint), not by corpus size.
+    """
+    from gemini_ocr_batch_spark.operators.blocklist import host_col
+    from gemini_ocr_batch_spark.operators.textstats import (
+        quality_x10000_col,
+    )
+
+    slim = pages.select(
+        host_col(url_col).alias("domain"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("__t"),
+    ).select(
+        "domain",
+        F.md5(F.col("__t")).alias("fp"),
+        quality_x10000_col("__t").alias("q"),
+    )
+    per_text = slim.groupBy("domain", "fp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("q").alias("q_sum"),
+    )
+    return (
+        per_text.groupBy("domain")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_unique_text"),
+            F.sum("q_sum").alias("q_total"),
+        )
+        .select(
+            "domain",
+            "n_docs",
+            "n_unique_text",
+            F.expr(
+                "CAST(((n_docs - n_unique_text) * 10000) div n_docs"
+                " AS BIGINT)"
+            ).alias("dup_frac_x10000"),
+            F.expr("CAST(q_total div n_docs AS BIGINT)").alias(
+                "mean_quality_x10000"
+            ),
+        )
+        .orderBy("domain")
+    )
+
+
 def run_curation_job(
     spark,
     extracted_dir: str,

@@ -295,3 +295,46 @@ def test_repeated_spans_multiple_spans_per_doc(spark):
     assert spans[(2, 8)] == (1, 8)
     assert spans[(3, 0)] == (1, 8)
     assert len(spans) == 4
+
+
+def test_excise_spans_removes_planted_spans(spark):
+    """excise_spans: the action half of repeated_spans — flagged token
+    ranges are removed, untouched docs pass through, case preserved."""
+    from gemini_ocr_batch_spark.operators.dedup import (
+        excise_spans,
+        repeated_spans,
+    )
+
+    shared = "Alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, "Unique opening words here today " + shared + " tail one"),
+        (2, "Different start tokens right now " + shared + " other end"),
+        (3, "Totally unrelated content with no overlap at all whatsoever"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = repeated_spans(df, k=8)
+    # keep-first policy: excise the span everywhere but the min doc
+    to_cut = spans.filter("doc_id <> 1")
+    got = {r["doc_id"]: r for r in excise_spans(df, to_cut).collect()}
+    assert got[1]["text_excised"] == rows[0][1]       # untouched, case kept
+    assert got[1]["n_excised"] == 0
+    assert got[2]["n_excised"] == 10
+    assert got[2]["text_excised"] == (
+        "Different start tokens right now other end"
+    )
+    assert got[3]["n_excised"] == 0 and got[3]["text_excised"] == rows[2][1]
+
+
+def test_excise_spans_multiple_and_overlapping(spark):
+    from gemini_ocr_batch_spark.operators.dedup import excise_spans
+
+    df = spark.createDataFrame(
+        [(1, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9")], "doc_id long, text string"
+    )
+    spans = spark.createDataFrame(
+        [(1, 1, 2), (1, 2, 3), (1, 8, 2)],   # overlapping 1-4, plus 8-9
+        "doc_id long, start_pos int, span_tokens long",
+    )
+    (row,) = excise_spans(df, spans).collect()
+    assert row["text_excised"] == "t0 t5 t6 t7"
+    assert row["n_tokens"] == 10 and row["n_excised"] == 6

@@ -474,3 +474,38 @@ def test_gopher_quality_flags_stays_jvm_side(spark, sf_dir):
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert plan.count("Exchange") == 1 and "rangepartitioning" in plan
+
+
+def test_domain_quality_stats_rollup(spark):
+    """Per-domain curation signal: dup fraction + mean quality roll up
+    by host, exact integer arithmetic."""
+    from gemini_ocr_batch_spark.operators.webtext import (
+        domain_quality_stats,
+    )
+    from gemini_ocr_batch_spark.operators.textstats import (
+        quality_x10000_col,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("https://farm.example/a", "copy of the same body text"),
+        ("https://farm.example/b", "copy of the same body text"),
+        ("https://farm.example/c", "copy of the same body text"),
+        ("https://farm.example/d", "one distinct page body"),
+        ("https://clean.example/x", "an original article body here"),
+        ("https://clean.example/y", "a different original body there"),
+    ]
+    df = spark.createDataFrame(rows, "url string, text string")
+    got = {r["domain"]: r for r in domain_quality_stats(df).collect()}
+    farm = got["farm.example"]
+    assert farm["n_docs"] == 4 and farm["n_unique_text"] == 2
+    assert farm["dup_frac_x10000"] == 5000
+    clean = got["clean.example"]
+    assert clean["n_docs"] == 2 and clean["dup_frac_x10000"] == 0
+    # mean = integer sum div n of the shared quality formula
+    qs = [
+        r["q"]
+        for r in df.filter(F.col("url").startswith("https://clean"))
+        .select(quality_x10000_col("text").alias("q")).collect()
+    ]
+    assert clean["mean_quality_x10000"] == sum(qs) // 2
