@@ -123,6 +123,19 @@ def main(argv: list[str] | None = None) -> int:
     lk_p.add_argument("--out", required=True)
     lk_p.add_argument("--master", default=None)
 
+    dom_p = sub.add_parser(
+        "domains",
+        help="per-domain quality/duplication rollup over a finished "
+             "extraction run (the blocklist-candidate report)",
+    )
+    dom_p.add_argument("--extracted", required=True,
+                       help="extraction output root (run verb's --out)")
+    dom_p.add_argument("--out", default=None,
+                       help="optional parquet output for the full table")
+    dom_p.add_argument("--top", type=int, default=10,
+                       help="print the N most duplicate-heavy domains")
+    dom_p.add_argument("--master", default=None)
+
     ix_p = sub.add_parser(
         "index",
         help="build + persist an IVF ANN index over an embeddings table "
@@ -422,6 +435,41 @@ def main(argv: list[str] | None = None) -> int:
                     "n_pages_with_links": int(audit["n_pages_with_links"]),
                     "edges_path": edges_path,
                     "domain_pairs_path": domains_path,
+                }
+            )
+        )
+        return 0
+
+    if args.verb == "domains":
+        from pyspark.sql import functions as F
+
+        from gemini_ocr_batch_spark.job import read_extracted
+        from gemini_ocr_batch_spark.operators.webtext import (
+            domain_quality_stats,
+        )
+
+        spark = get_spark(master=args.master)
+        rows = read_extracted(spark, args.extracted)
+        stats = domain_quality_stats(
+            rows, url_col="url", text_col="extracted_text"
+        )
+        if args.out:
+            stats.write.mode("overwrite").parquet(args.out)
+            stats = spark.read.parquet(args.out)
+        # the domain table is aggregation output — bounded by distinct
+        # domains, the classic driver-side report size
+        top = (
+            stats.orderBy(F.desc("dup_frac_x10000"), "domain")
+            .limit(max(0, args.top))
+            .collect()
+        )
+        n_domains = stats.count()
+        print(
+            json.dumps(
+                {
+                    "n_domains": n_domains,
+                    "top_duplicate_domains": [r.asDict() for r in top],
+                    **({"out": args.out} if args.out else {}),
                 }
             )
         )

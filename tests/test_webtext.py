@@ -509,3 +509,43 @@ def test_domain_quality_stats_rollup(spark):
         .select(quality_x10000_col("text").alias("q")).collect()
     ]
     assert clean["mean_quality_x10000"] == sum(qs) // 2
+
+
+def test_domains_cli_verb(spark, tmp_path, capsys):
+    """domains verb end to end: extraction run -> per-domain report with
+    the dup-heavy domain ranked first."""
+    import datetime as dt
+    import json
+
+    from gemini_ocr_batch_spark.__main__ import main
+    from gemini_ocr_batch_spark.job import run_extraction_job
+    from gemini_ocr_batch_spark.schemas import PAGES_SCHEMA
+
+    ts = dt.datetime(2024, 1, 1)
+    body = (
+        b"<html><body><p>alpha beta gamma delta epsilon zeta eta "
+        b"theta</p></body></html>"
+    )
+    rows = [(f"https://farm.example/{i}", ts, body, None, "en")
+            for i in range(4)]
+    rows += [
+        (f"https://clean.example/{i}", ts,
+         b"<html><body><p>unique words page number %d with extra "
+         b"content</p></body></html>" % i, None, "en")
+        for i in range(3)
+    ]
+    pages = spark.createDataFrame(rows, PAGES_SCHEMA)
+    out = str(tmp_path / "run_out")
+    run_extraction_job(spark, pages, out, max_retries=1)
+
+    rc = main(["domains", "--extracted", out,
+               "--out", str(tmp_path / "domains"), "--top", "1"])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["n_domains"] == 2
+    (worst,) = rep["top_duplicate_domains"]
+    assert worst["domain"] == "farm.example"
+    assert worst["n_docs"] == 4 and worst["n_unique_text"] == 1
+    assert worst["dup_frac_x10000"] == 7500
+    table = spark.read.parquet(str(tmp_path / "domains"))
+    assert table.count() == 2
