@@ -69,6 +69,10 @@ def main(argv: list[str] | None = None) -> int:
     cur_p.add_argument("--min-quality", type=int, default=None,
                        help="quality floor, x10000 fixed-point "
                             "(config curation.min_quality_x10000)")
+    cur_p.add_argument("--gopher", action="store_true", default=None,
+                       help="also gate keep on the Gopher quality rules "
+                            "(config: curation.gopher_rules; thresholds "
+                            "are the published English-calibrated values)")
     cur_p.add_argument("--nfkc", action="store_true", default=None,
                        help="NFKC-normalize text before fingerprinting "
                             "(config: curation.normalize_nfkc)")
@@ -318,6 +322,11 @@ def main(argv: list[str] | None = None) -> int:
             if args.nfkc is not None
             else (cfg.curation.normalize_nfkc if cfg else False)
         )
+        gopher = (
+            args.gopher
+            if args.gopher is not None
+            else (cfg.curation.gopher_rules if cfg else False)
+        )
         stats = run_curation_job(
             spark,
             extracted,
@@ -325,6 +334,7 @@ def main(argv: list[str] | None = None) -> int:
             min_quality_x10000=min_q,
             max_rep_x10000=max_r,
             normalize_nfkc=nfkc,
+            gopher_rules=gopher,
         )
         print(json.dumps(stats))
         return 0

@@ -96,6 +96,8 @@ class CurationConfig:
     curated_out: str | None = None
     # NFKC-normalize text ahead of fingerprinting (kernels/normalize.py)
     normalize_nfkc: bool = False
+    # gate keep on the Gopher quality rules (published thresholds)
+    gopher_rules: bool = False
 
 
 @dataclass(frozen=True)
@@ -314,6 +316,9 @@ def validate_config(raw: dict, source: str = "<in-memory>") -> AppConfig:
         curated_out=curated_out,
         normalize_nfkc=_opt_bool(
             cur_sec, "curation", "normalize_nfkc", False, ctx
+        ),
+        gopher_rules=_opt_bool(
+            cur_sec, "curation", "gopher_rules", False, ctx
         ),
     )
 

@@ -95,12 +95,14 @@ def blocklist_filter(
     ).filter(F.col("__blocked") != "")
     host = host_col(url_col)
     out = out.withColumn("__h0", host)
-    # full-host equality, then each label-suffix depth; every probe is a
-    # broadcast hash anti-join against the SAME broadcast relation
+    # full-host equality, then each label-suffix depth (k=1 included: a
+    # single-label entry — a bare TLD — is suffix semantics like any
+    # other, caught by property fuzz in r6); every probe is a broadcast
+    # hash anti-join against the SAME broadcast relation
     out = out.join(
         F.broadcast(bd), out["__h0"] == bd["__blocked"], "left_anti"
     )
-    for k in range(2, max_labels + 1):
+    for k in range(1, max_labels + 1):
         sfx = f"__h{k}"
         out = out.withColumn(sfx, label_suffix_col(F.col("__h0"), k))
         out = out.join(

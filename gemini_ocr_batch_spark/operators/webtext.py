@@ -589,6 +589,8 @@ def run_curation_job(
     min_quality_x10000: int = 3000,
     max_rep_x10000: int = 5000,
     normalize_nfkc: bool = False,
+    gopher_rules: bool = False,
+    gopher_kwargs: dict | None = None,
 ) -> dict:
     """The corpus-prep job over a finished extraction run: flag every
     success row (curation_flags keyed by url over extracted_text), write
@@ -614,27 +616,54 @@ def run_curation_job(
         rows = normalize_text(rows, id_col="url", text_col="extracted_text")
     flags_path = os.path.join(out_dir, "flags")
     corpus_path = os.path.join(out_dir, "corpus")
-    curation_flags(
+    flags_df = curation_flags(
         rows,
         id_col="url",
         text_col="extracted_text",
         min_quality_x10000=min_quality_x10000,
         max_rep_x10000=max_rep_x10000,
         ordered=False,
-    ).write.mode("overwrite").parquet(flags_path)
+    )
+    if gopher_rules:
+        # RefinedWeb-shaped pass: the Gopher rule gate composes into the
+        # keep decision. The join ships only (url, gopher_ok) — the
+        # gopher metrics are scan-side projections like the quality
+        # blend, and both sides key on url.
+        # one row PER URL on the build side: the corpus can carry
+        # duplicate url keys (the fixture plants them), and a plain join
+        # would fan flags out multiplicatively (observed 1982 → 2022
+        # rows); conservative AND across a url's rows via min(bool)
+        g = (
+            gopher_quality_flags(
+                rows, id_col="url", text_col="extracted_text",
+                **(gopher_kwargs or {}),
+            )
+            .groupBy("url")
+            .agg(F.min("gopher_ok").alias("gopher_ok"))
+        )
+        flags_df = (
+            flags_df.join(g, "url")
+            .withColumn("keep", F.col("keep") & F.col("gopher_ok"))
+        )
+    flags_df.write.mode("overwrite").parquet(flags_path)
     flags = spark.read.parquet(flags_path)
     kept_keys = flags.filter(F.col("keep")).select("url")
     rows.join(kept_keys, "url", "semi").write.mode("overwrite").parquet(
         corpus_path
     )
-    stats_row = flags.agg(
+    aggs = [
         F.count("*").alias("input_rows"),
         F.sum(F.col("keep").cast("long")).alias("kept"),
         F.sum((~F.col("is_canonical")).cast("long")).alias("dup_rows"),
         F.sum((~F.col("quality_ok")).cast("long")).alias("low_quality"),
         F.sum((~F.col("repetition_ok")).cast("long")).alias("repetitive"),
-    ).collect()[0]
-    return {
+    ]
+    if gopher_rules:
+        aggs.append(
+            F.sum((~F.col("gopher_ok")).cast("long")).alias("gopher_fail")
+        )
+    stats_row = flags.agg(*aggs).collect()[0]
+    out = {
         "input_rows": stats_row["input_rows"],
         "kept": stats_row["kept"] or 0,
         "dropped_duplicate": stats_row["dup_rows"] or 0,
@@ -643,3 +672,6 @@ def run_curation_job(
         "flags_path": flags_path,
         "corpus_path": corpus_path,
     }
+    if gopher_rules:
+        out["dropped_gopher"] = stats_row["gopher_fail"] or 0
+    return out

@@ -549,3 +549,48 @@ def test_domains_cli_verb(spark, tmp_path, capsys):
     assert worst["dup_frac_x10000"] == 7500
     table = spark.read.parquet(str(tmp_path / "domains"))
     assert table.count() == 2
+
+
+def test_curate_job_with_gopher_gate(spark, tmp_path):
+    """gopher_rules=True composes the Gopher gate into keep: a page that
+    passes dedup+quality but fails a Gopher rule (here: too few words)
+    is dropped, and the audit reports it."""
+    import datetime as dt
+
+    from gemini_ocr_batch_spark.job import run_extraction_job
+    from gemini_ocr_batch_spark.operators.webtext import run_curation_job
+    from gemini_ocr_batch_spark.schemas import PAGES_SCHEMA
+
+    ts = dt.datetime(2024, 1, 1)
+    long_body = (
+        "the quick brown fox jumps over the lazy dog and then it runs far "
+        "away into the deep woods with a good friend of the family and "
+        "they both keep going until the night comes down over the hills "
+        "and everything is quiet again for a long while after that"
+    )
+    rows = [
+        ("https://a.example/long", ts,
+         b"<html><body><p>%s</p></body></html>" % long_body.encode(),
+         None, "en"),
+        ("https://a.example/short", ts,
+         b"<html><body><p>just five words with the</p></body></html>",
+         None, "en"),
+    ]
+    pages = spark.createDataFrame(rows, PAGES_SCHEMA)
+    out = str(tmp_path / "run_out")
+    run_extraction_job(spark, pages, out, max_retries=1)
+
+    base = run_curation_job(spark, out, str(tmp_path / "c0"))
+    assert base["kept"] == 2 and "dropped_gopher" not in base
+
+    gated = run_curation_job(
+        spark, out, str(tmp_path / "c1"), gopher_rules=True
+    )
+    assert gated["dropped_gopher"] == 1
+    assert gated["kept"] == 1
+    corpus = spark.read.parquet(gated["corpus_path"])
+    assert [r["url"] for r in corpus.select("url").collect()] == [
+        "https://a.example/long"
+    ]
+    flags = spark.read.parquet(gated["flags_path"])
+    assert "gopher_ok" in flags.columns
