@@ -66,6 +66,9 @@ class FiltersConfig:
     # domain per line, '#' comments) + literal url regex rules
     blocklist_path: str | None = None
     url_patterns: list[str] | None = None
+    # retroactive robots.txt politeness (r6): parquet table of
+    # (domain, robots_txt) captures
+    robots_path: str | None = None
 
 
 @dataclass(frozen=True)
@@ -252,6 +255,12 @@ def validate_config(raw: dict, source: str = "<in-memory>") -> AppConfig:
     ):
         ctx.err("filters.blocklist_path", "must be a non-empty string")
         blocklist_path = None
+    robots_path = f_sec.get("robots_path")
+    if robots_path is not None and (
+        not isinstance(robots_path, str) or not robots_path.strip()
+    ):
+        ctx.err("filters.robots_path", "must be a non-empty string")
+        robots_path = None
     url_patterns = f_sec.get("url_patterns")
     if url_patterns is not None and (
         not isinstance(url_patterns, list)
@@ -262,7 +271,8 @@ def validate_config(raw: dict, source: str = "<in-memory>") -> AppConfig:
         url_patterns = None
     filters = FiltersConfig(langs=langs, crawl_window=window,
                             blocklist_path=blocklist_path,
-                            url_patterns=url_patterns)
+                            url_patterns=url_patterns,
+                            robots_path=robots_path)
 
     e_sec = _section(raw, "execution", ctx)
     execution = ExecutionConfig(

@@ -465,6 +465,13 @@ def apply_input_filters(pages: DataFrame, filters) -> DataFrame:
         out = blocklist_filter(
             out, domains, patterns=list(url_patterns or ())
         )
+    robots_path = getattr(filters, "robots_path", None)
+    if robots_path:
+        from gemini_ocr_batch_spark.operators.blocklist import robots_filter
+
+        out = robots_filter(
+            out, pages.sparkSession.read.parquet(robots_path)
+        )
     return out
 
 

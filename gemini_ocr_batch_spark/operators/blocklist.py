@@ -32,6 +32,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
+import pandas as pd  # module-level: pandas_udf type hints resolve here
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -109,6 +110,71 @@ def blocklist_filter(
             F.broadcast(bd), out[sfx] == bd["__blocked"], "left_anti"
         ).drop(sfx)
     return out.drop("__h0")
+
+
+def robots_filter(
+    pages: DataFrame,
+    robots: DataFrame,
+    url_col: str = "url",
+    domain_col: str = "domain",
+    robots_col: str = "robots_txt",
+    agent: str = "*",
+) -> DataFrame:
+    """Drop pages their own domain's robots.txt capture disallows —
+    retroactive crawl politeness over an archive (RFC 9309 / original
+    REP; see ``kernels/robots.py`` for the exact supported subset).
+
+    ``robots`` is (domain, robots_txt) — one capture per domain.  Pages
+    whose domain has no robots row, or whose url is unparseable, pass
+    through (default allow).
+
+    Scale shape: the robots side parses through an Arrow-batched pandas
+    UDF into per-domain rule ARRAYS (bounded by rules-per-file), then
+    broadcasts — the pages side streams through one broadcast hash left
+    join with the first-match decision evaluated as an in-array
+    expression; no shuffle on either side, matcher fuzz-twinned against
+    ``urllib.robotparser.can_fetch`` on the shared subset.
+    """
+    from gemini_ocr_batch_spark.kernels.robots import parse_robots
+
+    rules_type = "array<struct<path:string,allow:boolean>>"
+
+    @F.pandas_udf(rules_type)
+    def _parse(texts: pd.Series) -> pd.Series:
+        return texts.map(
+            lambda t: [
+                {"path": p, "allow": bool(a)}
+                for p, a in parse_robots(t or "", agent=agent)
+            ]
+        )
+
+    rules_df = robots.select(
+        F.lower(F.trim(F.col(domain_col))).alias("__rdom"),
+        _parse(F.col(robots_col)).alias("__rules"),
+    )
+    u = F.col(url_col)
+    raw_path = F.try_parse_url(u, F.lit("PATH"))
+    path = F.when(
+        raw_path.isNull() | (raw_path == ""), F.lit("/")
+    ).otherwise(raw_path)
+    out = pages.withColumn("__rh", host_col(url_col)).withColumn(
+        "__rp", path
+    )
+    out = out.join(
+        F.broadcast(rules_df), out["__rh"] == rules_df["__rdom"], "left"
+    )
+    # try_element_at: an empty match list (no rule applies) must yield
+    # NULL (default allow), not an ANSI index error
+    first = F.try_element_at(
+        F.filter(
+            F.col("__rules"),
+            lambda r: (r["path"] == "")
+            | F.col("__rp").startswith(r["path"]),
+        ),
+        F.lit(1),
+    )
+    keep = first.isNull() | first["allow"]
+    return out.filter(keep).drop("__rh", "__rp", "__rdom", "__rules")
 
 
 def blocklist_flags(
