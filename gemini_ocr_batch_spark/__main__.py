@@ -127,6 +127,24 @@ def main(argv: list[str] | None = None) -> int:
     lk_p.add_argument("--out", required=True)
     lk_p.add_argument("--master", default=None)
 
+    sp_p = sub.add_parser(
+        "spans",
+        help="cross-document repeated-span report over a finished "
+             "extraction run (substring-level dedup, Lee et al. 2022)",
+    )
+    sp_p.add_argument("--extracted", required=True,
+                      help="extraction output root (run verb's --out)")
+    sp_p.add_argument("--out", required=True,
+                      help="parquet output for the span table")
+    sp_p.add_argument("--k", type=int, default=8,
+                      help="token window size (spans >= k tokens surface)")
+    sp_p.add_argument("--max-df", type=int, default=None,
+                      help="drop grams present in more than N documents "
+                           "(boilerplate cap)")
+    sp_p.add_argument("--min-run", type=int, default=1,
+                      help="drop spans shorter than N consecutive grams")
+    sp_p.add_argument("--master", default=None)
+
     dom_p = sub.add_parser(
         "domains",
         help="per-domain quality/duplication rollup over a finished "
@@ -445,6 +463,39 @@ def main(argv: list[str] | None = None) -> int:
                     "n_pages_with_links": int(audit["n_pages_with_links"]),
                     "edges_path": edges_path,
                     "domain_pairs_path": domains_path,
+                }
+            )
+        )
+        return 0
+
+    if args.verb == "spans":
+        from pyspark.sql import functions as F
+
+        from gemini_ocr_batch_spark.job import read_extracted
+        from gemini_ocr_batch_spark.operators.dedup import repeated_spans
+
+        spark = get_spark(master=args.master)
+        rows = read_extracted(spark, args.extracted)
+        spans = repeated_spans(
+            rows, id_col="url", text_col="extracted_text",
+            k=args.k, max_df=args.max_df, min_run=args.min_run,
+        )
+        spans.write.mode("overwrite").parquet(args.out)
+        spans = spark.read.parquet(args.out)
+        audit = spans.agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.count_distinct("url").alias("docs_with_spans"),
+            F.sum("span_tokens").alias("span_tokens_total"),
+        ).collect()[0]
+        print(
+            json.dumps(
+                {
+                    "n_spans": int(audit["n_spans"]),
+                    "docs_with_spans": int(audit["docs_with_spans"]),
+                    "span_tokens_total": int(
+                        audit["span_tokens_total"] or 0
+                    ),
+                    "out": args.out,
                 }
             )
         )

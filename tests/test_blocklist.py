@@ -198,3 +198,34 @@ def test_blocklist_property_fuzz_vs_python_model(spark):
         if len(got_kept) > 10_000:  # safety, never expected
             break
     assert got_kept == want_kept
+
+
+def test_blocklist_filter_works_on_streams(spark, tmp_path):
+    """The blocklist is stateless + broadcast-joined, so it must compose
+    into Structured Streaming unchanged (stream-static join)."""
+    src = str(tmp_path / "in")
+    spark.createDataFrame(PAGES, "url string, text string").write.parquet(
+        src
+    )
+    stream = spark.readStream.schema("url string, text string").parquet(src)
+    filtered = blocklist_filter(
+        stream, _bl(spark), patterns=["/casino/"]
+    )
+    assert filtered.isStreaming
+    q = (
+        filtered.writeStream.format("memory")
+        .queryName("bl_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        r["url"] for r in spark.sql("SELECT url FROM bl_stream").collect()
+    )
+    assert got == [
+        "https://example.com/fine",
+        "https://good.org/page",
+        "not a url at all",
+    ]
