@@ -412,8 +412,11 @@ def repeated_spans(docs: DataFrame, id_col: str = "doc_id",
     run detection is a single window + same-key aggregation — one
     hashpartitioning(doc) exchange of slim triples, reused by the
     groupBy (clustering on (doc, grp) is satisfied by doc partitioning).
-    Text never crosses any exchange, and there is no pairwise join at
-    all — corpus-linear where true suffix-array dedup is superlinear.
+    At production split counts text never crosses an exchange (the
+    ``spread_small_input`` repartition fires only on few-split local
+    sources, same policy as the shingling operators) and there is no
+    pairwise join at all — corpus-linear where true suffix-array dedup
+    is superlinear.
     """
     from pyspark.sql import Window
 
