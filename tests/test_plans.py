@@ -126,3 +126,32 @@ def test_decontaminate_broadcasts_and_never_shuffles_text(spark, sf_dir):
     for s in exchange_sections:
         input_line = next(l for l in s.splitlines() if l.startswith("Input"))
         assert "text#" not in input_line, s
+
+
+def test_repeated_spans_slim_shuffles_no_pairwise_join(spark, sf_dir):
+    """r6 substring dedup: after the (few-split local) spread of the
+    source, every downstream exchange carries only slim (doc, pos, hash)
+    triples — never text or gram strings — and the plan contains no
+    pairwise join (corpus-linear: the only joins are the semi-join of
+    positions against the elected dup-hash set)."""
+    from gemini_ocr_batch_spark.operators.dedup import repeated_spans
+    from gemini_ocr_batch_spark.plans import formatted_plan
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = repeated_spans(docs, k=8)
+    fp = formatted_plan(df)
+    exchange_sections = [
+        s
+        for s in fp.split("\n\n")
+        if s.lstrip().startswith("(") and ") Exchange" in s.splitlines()[0]
+    ]
+    assert exchange_sections, fp
+    for s in exchange_sections:
+        input_line = next(l for l in s.splitlines() if l.startswith("Input"))
+        # the spread repartition is the one allowed text movement on a
+        # few-split local source; every OTHER exchange must be slim
+        if "RoundRobinPartitioning" in s or "REPARTITION" in s:
+            continue
+        assert "text#" not in input_line and "gram#" not in input_line, s
+    assert "CartesianProduct" not in fp
+    assert "SortMergeJoin Inner" not in fp  # only the semi-join + window
