@@ -517,6 +517,10 @@ def main(argv: list[str] | None = None) -> int:
         if args.out:
             stats.write.mode("overwrite").parquet(args.out)
             stats = spark.read.parquet(args.out)
+        else:
+            # top-N collect + count would otherwise each re-run the full
+            # corpus aggregation; pay the scan once
+            stats = stats.persist()
         # the domain table is aggregation output — bounded by distinct
         # domains, the classic driver-side report size
         top = (
@@ -525,6 +529,8 @@ def main(argv: list[str] | None = None) -> int:
             .collect()
         )
         n_domains = stats.count()
+        if not args.out:
+            stats.unpersist()
         print(
             json.dumps(
                 {

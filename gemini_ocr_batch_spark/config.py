@@ -269,6 +269,21 @@ def validate_config(raw: dict, source: str = "<in-memory>") -> AppConfig:
         ctx.err("filters.url_patterns",
                 "must be a list of non-empty regex strings")
         url_patterns = None
+    elif url_patterns is not None:
+        # fail at load, not mid-job inside the scan filter: a pattern
+        # that does not compile would otherwise surface as a Java
+        # PatternSyntaxException on the first action (python `re` is the
+        # validator — the supported subset is the Java/RE2-portable one,
+        # which python also accepts)
+        import re as _re
+
+        for i, pat in enumerate(url_patterns):
+            try:
+                _re.compile(pat)
+            except _re.error as exc:
+                ctx.err(f"filters.url_patterns[{i}]",
+                        f"invalid regex {pat!r}: {exc}")
+                url_patterns = None
     filters = FiltersConfig(langs=langs, crawl_window=window,
                             blocklist_path=blocklist_path,
                             url_patterns=url_patterns,

@@ -409,8 +409,9 @@ def with_prev_context(extracted: DataFrame, tail_chars: int = 500) -> DataFrame:
     return (
         extracted.withColumn(
             "domain",
+            # try_parse_url: ANSI parse_url throws on malformed urls
             F.coalesce(
-                F.parse_url(F.col("url"), F.lit("HOST")), F.col("url")
+                F.try_parse_url(F.col("url"), F.lit("HOST")), F.col("url")
             ),
         ).withColumn(
             "prev_context",

@@ -124,9 +124,15 @@ def robots_filter(
     retroactive crawl politeness over an archive (RFC 9309 / original
     REP; see ``kernels/robots.py`` for the exact supported subset).
 
-    ``robots`` is (domain, robots_txt) — one capture per domain.  Pages
-    whose domain has no robots row, or whose url is unparseable, pass
-    through (default allow).
+    ``robots`` is (domain, robots_txt).  Multiple captures of one domain
+    (the normal shape of a crawl archive) are resolved HERE to one row —
+    the lexicographically greatest text wins, deterministic across
+    engines and runs — because a duplicate-keyed build side would
+    otherwise multiply every page of that domain through the join.  For
+    time-aware resolution, pre-resolve with
+    ``webtext.latest_snapshot(robots, key_col="domain", ...)`` and pass
+    the result.  Pages whose domain has no robots row, or whose url is
+    unparseable, pass through (default allow).
 
     Scale shape: the robots side parses through an Arrow-batched pandas
     UDF into per-domain rule ARRAYS (bounded by rules-per-file), then
@@ -148,9 +154,16 @@ def robots_filter(
             ]
         )
 
-    rules_df = robots.select(
-        F.lower(F.trim(F.col(domain_col))).alias("__rdom"),
-        _parse(F.col(robots_col)).alias("__rules"),
+    rules_df = (
+        robots.select(
+            F.lower(F.trim(F.col(domain_col))).alias("__rdom"),
+            F.col(robots_col).alias("__rtxt"),
+        )
+        # one row per domain BEFORE parsing (see docstring): duplicate
+        # build-side keys would fan every page of the domain out
+        .groupBy("__rdom")
+        .agg(F.max("__rtxt").alias("__rtxt"))
+        .select("__rdom", _parse(F.col("__rtxt")).alias("__rules"))
     )
     u = F.col(url_col)
     raw_path = F.try_parse_url(u, F.lit("PATH"))

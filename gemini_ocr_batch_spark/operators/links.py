@@ -179,10 +179,13 @@ def domain_link_stats(links: DataFrame, url_col: str = "url") -> DataFrame:
     (``#...``) are NOT edges and are dropped, so they never inflate
     intra-domain counts or the link-farm features built on them (r5
     ADVICE)."""
+    # try_parse_url, NOT parse_url: ANSI mode (default in Spark 4) makes
+    # parse_url THROW on malformed input, and crawl hrefs/urls contain
+    # garbage (a href with a space crashes the whole links job otherwise)
     src = F.coalesce(
-        F.parse_url(F.col(url_col), F.lit("HOST")), F.col(url_col)
+        F.try_parse_url(F.col(url_col), F.lit("HOST")), F.col(url_col)
     )
-    dst_host = F.parse_url(F.col("href"), F.lit("HOST"))
+    dst_host = F.try_parse_url(F.col("href"), F.lit("HOST"))
     non_edge = (dst_host.isNull() | (dst_host == "")) & (
         F.col("href").rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*:")
         | F.col("href").startswith("#")

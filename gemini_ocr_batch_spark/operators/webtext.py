@@ -293,9 +293,12 @@ def latest_snapshot(pages: DataFrame, key_col: str = "url",
             .select("__k", "__ts", "__tb", "n_snapshots")
         )
         probe = probe.withColumn("__ptb", tb)
+        # eqNullSafe on ts: a key whose winning capture has a NULL
+        # timestamp must re-select like the window form does (plain ==
+        # evaluates NULL and silently drops the key — r6 review find)
         cond = (
-            (probe[probe_key] == winners["__k"])
-            & (probe[ts_col] == winners["__ts"])
+            probe[probe_key].eqNullSafe(winners["__k"])
+            & probe[ts_col].eqNullSafe(winners["__ts"])
             & (probe["__ptb"] == winners["__tb"])
         )
         out = (

@@ -229,3 +229,21 @@ def test_blocklist_filter_works_on_streams(spark, tmp_path):
         "https://good.org/page",
         "not a url at all",
     ]
+
+
+def test_config_rejects_uncompilable_url_pattern(tmp_path):
+    """A bad regex must fail at config load (dotted-path error), not as
+    a PatternSyntaxException mid-job (r6 review find)."""
+    from gemini_ocr_batch_spark.config import ConfigError, load_config
+
+    bad = tmp_path / "bad.yaml"
+    bad.write_text(
+        "paths:\n  pages: /p\n  out: /o\n"
+        "filters:\n  url_patterns: ['/ok/', '/casino/(']\n"
+    )
+    try:
+        load_config(str(bad))
+        raise AssertionError("expected ConfigError")
+    except ConfigError as exc:
+        assert "filters.url_patterns[1]" in str(exc)
+        assert "invalid regex" in str(exc)

@@ -210,3 +210,25 @@ def test_incoming_anchor_texts_top_n_and_counts(spark):
     # top-2 by count desc then text asc: popular(5), zz mid(2); rare cut
     assert t["top_anchors"] == "popular anchor|zz mid anchor"
     assert got["/other"]["top_anchors"] == "solo"
+
+
+def test_domain_link_stats_survives_malformed_urls(spark):
+    """ANSI parse_url throws on garbage; crawl hrefs contain garbage —
+    the rollup must treat unparseable hosts as hostless, not crash
+    (r6 review find, confirmed crash before the try_parse_url fix)."""
+    rows = [
+        ("https://a.example/1.html", 0, "/has space in href", "sp"),
+        ("not a url at all", 0, "/x", "rel"),
+        ("https://a.example/1.html", 1, "https://b.example/ok", "ok"),
+    ]
+    links = spark.createDataFrame(
+        rows, "url string, link_no int, href string, anchor string"
+    )
+    got = {
+        (r["src_domain"], r["dst_domain"]): r["n_links"]
+        for r in domain_link_stats(links).collect()
+    }
+    assert got[("a.example", "b.example")] == 1
+    # malformed page url: host falls back to the raw url string
+    assert got[("not a url at all", "not a url at all")] == 1
+    assert got[("a.example", "a.example")] == 1  # space-href = relative

@@ -122,13 +122,21 @@ def test_robots_filter_plan_broadcast_no_page_shuffle(spark):
     robots = spark.createDataFrame(
         [("a.example", SAMPLE)], "domain string, robots_txt string"
     )
-    plan = (
-        robots_filter(pages, robots)
-        ._jdf.queryExecution().executedPlan().toString()
-    )
+    from gemini_ocr_batch_spark.plans import formatted_plan
+
+    df = robots_filter(pages, robots)
+    plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
-    assert "Exchange hashpartitioning" not in plan
     assert "SortMergeJoin" not in plan
+    # the per-domain capture-resolution aggregate shuffles the SMALL
+    # robots side only; no exchange may carry the pages' text column
+    fp = formatted_plan(df)
+    for s in fp.split("\n\n"):
+        if s.lstrip().startswith("(") and ") Exchange" in s.splitlines()[0]:
+            input_line = next(
+                l for l in s.splitlines() if l.startswith("Input")
+            )
+            assert "text#" not in input_line, s
 
 
 def test_apply_input_filters_robots_integration(spark, tmp_path):
@@ -158,3 +166,22 @@ def test_apply_input_filters_robots_integration(spark, tmp_path):
         f"filters:\n  robots_path: {rpath}\n"
     )
     assert load_config(str(cfg_file)).filters.robots_path == rpath
+
+
+def test_robots_filter_duplicate_captures_do_not_multiply_pages(spark):
+    """An archive holds many captures per domain; the build side must
+    resolve to one row per domain or the join fans pages out (r6 review
+    find)."""
+    from gemini_ocr_batch_spark.operators.blocklist import robots_filter
+
+    pages = spark.createDataFrame(
+        [("https://a.example/ok", "p0"), ("https://a.example/tmp/x", "p1")],
+        "url string, text string",
+    )
+    robots = spark.createDataFrame(
+        [("a.example", SAMPLE), ("a.example", SAMPLE),
+         ("a.example", "User-agent: *\nDisallow: /tmp/")],
+        "domain string, robots_txt string",
+    )
+    got = robots_filter(pages, robots).collect()
+    assert [r["text"] for r in got] == ["p0"]  # exactly once, no fanout

@@ -594,3 +594,20 @@ def test_curate_job_with_gopher_gate(spark, tmp_path):
     ]
     flags = spark.read.parquet(gated["flags_path"])
     assert "gopher_ok" in flags.columns
+
+
+def test_latest_snapshot_slim_keeps_null_ts_keys(spark):
+    """slim join-back must be null-safe on (key, ts): a key whose
+    winning capture has a NULL timestamp may not vanish (r6 review
+    find)."""
+    from gemini_ocr_batch_spark.operators.webtext import latest_snapshot
+
+    df = spark.createDataFrame(
+        [("k1", None, "only"), ("k2", 5, "a"), ("k2", None, "older?")],
+        "url string, warc_ts long, text string",
+    )
+    dense = {(r["url"], r["text"]) for r in latest_snapshot(df).collect()}
+    slim = {(r["url"], r["text"])
+            for r in latest_snapshot(df, slim=True).collect()}
+    assert dense == slim
+    assert ("k1", "only") in slim
