@@ -262,3 +262,21 @@ def test_decontam_section_defaults_and_validation():
     msg = str(exc.value)
     assert "decontam.ngram" in msg
     assert "decontam.benchmark_path" in msg
+
+
+def test_example_pipeline_config_stays_valid():
+    """examples/pipeline.yaml documents every section; keep it loading
+    cleanly so the docs cannot rot."""
+    import os
+
+    from gemini_ocr_batch_spark.config import load_config
+
+    path = os.path.join(os.path.dirname(__file__), "..",
+                        "examples", "pipeline.yaml")
+    cfg = load_config(path)
+    assert cfg.paths.pages == "/data/crawl/pages"
+    assert cfg.filters.langs == ["en", "de"]
+    assert cfg.filters.blocklist_path and cfg.filters.robots_path
+    assert cfg.filters.url_patterns == ["/casino/", "\\.xxx/"]
+    assert cfg.curation.normalize_nfkc and cfg.curation.gopher_rules
+    assert cfg.decontam.ngram == 8
