@@ -125,6 +125,9 @@ def main(argv: list[str] | None = None) -> int:
     )
     lk_p.add_argument("--pages", required=True)
     lk_p.add_argument("--out", required=True)
+    lk_p.add_argument("--pagerank", type=int, default=0, metavar="ITERS",
+                      help="also compute domain PageRank with this many "
+                           "power iterations (0 = skip)")
     lk_p.add_argument("--master", default=None)
 
     sp_p = sub.add_parser(
@@ -456,16 +459,30 @@ def main(argv: list[str] | None = None) -> int:
             F.count(F.lit(1)).alias("n_edges"),
             F.count_distinct("url").alias("n_pages_with_links"),
         ).collect()[0]
-        print(
-            json.dumps(
-                {
-                    "n_edges": int(audit["n_edges"]),
-                    "n_pages_with_links": int(audit["n_pages_with_links"]),
-                    "edges_path": edges_path,
-                    "domain_pairs_path": domains_path,
-                }
+        report = {
+            "n_edges": int(audit["n_edges"]),
+            "n_pages_with_links": int(audit["n_pages_with_links"]),
+            "edges_path": edges_path,
+            "domain_pairs_path": domains_path,
+        }
+        if args.pagerank > 0:
+            from gemini_ocr_batch_spark.operators.links import (
+                domain_pagerank,
             )
-        )
+
+            pairs = spark.read.parquet(domains_path)
+            ranks = domain_pagerank(pairs, iterations=args.pagerank)
+            rank_path = os.path.join(args.out, "domain_rank")
+            ranks.write.mode("overwrite").parquet(rank_path)
+            top = spark.read.parquet(rank_path).orderBy(
+                F.desc("rank"), "domain"
+            ).limit(10).collect()
+            report["domain_rank_path"] = rank_path
+            report["top_domains"] = [
+                {"domain": r["domain"], "rank": round(float(r["rank"]), 6)}
+                for r in top
+            ]
+        print(json.dumps(report))
         return 0
 
     if args.verb == "spans":

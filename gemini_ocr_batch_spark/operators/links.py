@@ -171,6 +171,101 @@ def incoming_anchor_texts(links: DataFrame, top_n: int = 3) -> DataFrame:
     )
 
 
+def domain_pagerank(
+    edges: DataFrame,
+    iterations: int = 10,
+    damping: float = 0.85,
+    weight_col: str = "n_links",
+    drop_self_loops: bool = True,
+) -> DataFrame:
+    """Weighted PageRank over the domain graph (Page et al., 1999 —
+    public) — the crawl-side authority signal used for seed ranking and
+    link-farm demotion.  Input is :func:`domain_link_stats` output
+    (``src_domain, dst_domain, n_links``).
+
+    Returns (domain, rank) with ranks summing to ~1.0, ordered by rank
+    desc then domain.  Self-loops are dropped by default (a template
+    farm linking to itself must not self-inflate).
+
+    Semantics: standard damped power iteration with WEIGHTED out-edge
+    distribution (a domain's rank splits across its outlinks
+    proportionally to ``weight_col``) and dangling-mass redistribution
+    (domains with no outlinks donate their rank uniformly).
+
+    Scale shape: per iteration = one join of the static edge table
+    against the slim (domain, rank) frame + one groupBy(dst) partial
+    aggregation — 8-byte-ish rows only; the dangling mass is a 1-row
+    aggregate (driver scalar).  ``localCheckpoint`` cuts lineage each
+    round (the iterative-DataFrame trap, same discipline as
+    ``dedup.connected_components``).  Rounds are fixed (``iterations``),
+    so the job is deterministic and plannable.
+    """
+    e = edges.select(
+        F.col("src_domain").alias("src"),
+        F.col("dst_domain").alias("dst"),
+        F.col(weight_col).cast("double").alias("w"),
+    )
+    # node set BEFORE self-loop dropping: a domain whose only edges are
+    # self-loops (a single-domain corpus) must still appear — as a
+    # dangling node with the base rank — instead of vanishing
+    nodes = (
+        e.select(F.col("src").alias("domain"))
+        .union(e.select(F.col("dst").alias("domain")))
+        .distinct()
+        .localCheckpoint()
+    )
+    if drop_self_loops:
+        e = e.filter(F.col("src") != F.col("dst"))
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
+    # static per-edge share of the source's rank — computed once
+    edge_share = (
+        e.join(out_w, "src")
+        .select("src", "dst", (F.col("w") / F.col("out_w")).alias("share"))
+        .localCheckpoint()
+    )
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    base = (1.0 - damping) / n
+    for _ in range(max(1, int(iterations))):
+        contribs = (
+            edge_share.join(
+                ranks, edge_share["src"] == ranks["domain"]
+            )
+            .select(
+                F.col("dst").alias("domain"),
+                (F.col("share") * F.col("rank")).alias("c"),
+            )
+            .groupBy("domain")
+            .agg(F.sum("c").alias("in_rank"))
+        )
+        # dangling domains (no outgoing edges) donate uniformly
+        dangling = (
+            ranks.join(
+                out_w, ranks["domain"] == out_w["src"], "left_anti"
+            )
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .collect()[0][0]
+        )
+        ranks = (
+            nodes.join(contribs, "domain", "left")
+            .select(
+                "domain",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("in_rank"), F.lit(0.0))
+                        + F.lit(dangling / n)
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.orderBy(F.desc("rank"), "domain")
+
+
 def domain_link_stats(links: DataFrame, url_col: str = "url") -> DataFrame:
     """(src_domain, dst_domain, n_links, n_unique_hrefs) — the domain
     graph.  Relative hrefs (no host) resolve to the source domain;

@@ -232,3 +232,80 @@ def test_domain_link_stats_survives_malformed_urls(spark):
     # malformed page url: host falls back to the raw url string
     assert got[("not a url at all", "not a url at all")] == 1
     assert got[("a.example", "a.example")] == 1  # space-href = relative
+
+
+def _py_pagerank(edges, iterations=10, damping=0.85):
+    """Reference power iteration with identical semantics (weighted
+    shares, uniform dangling redistribution)."""
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    n = len(nodes)
+    out_w = {}
+    for s, _, w in edges:
+        out_w[s] = out_w.get(s, 0.0) + w
+    rank = {v: 1.0 / n for v in nodes}
+    base = (1.0 - damping) / n
+    for _ in range(iterations):
+        contrib = {v: 0.0 for v in nodes}
+        for s, d, w in edges:
+            contrib[d] += rank[s] * (w / out_w[s])
+        dangling = sum(r for v, r in rank.items() if v not in out_w)
+        rank = {
+            v: base + damping * (contrib[v] + dangling / n) for v in nodes
+        }
+    return rank
+
+
+def test_domain_pagerank_matches_reference_power_iteration(spark):
+    from gemini_ocr_batch_spark.operators.links import domain_pagerank
+
+    edges = [
+        ("a.example", "b.example", 3.0),
+        ("b.example", "c.example", 1.0),
+        ("c.example", "a.example", 1.0),
+        ("a.example", "c.example", 1.0),
+        ("d.example", "b.example", 2.0),   # d has no inlinks
+        # e is dangling (no outlinks): only receives
+        ("b.example", "e.example", 1.0),
+    ]
+    df = spark.createDataFrame(
+        [(s, d, int(w)) for s, d, w in edges],
+        "src_domain string, dst_domain string, n_links long",
+    )
+    got = {
+        r["domain"]: r["rank"]
+        for r in domain_pagerank(df, iterations=12).collect()
+    }
+    want = _py_pagerank(edges, iterations=12)
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-9, (v, got[v], want[v])
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_domain_pagerank_self_loops_and_cycle(spark):
+    from gemini_ocr_batch_spark.operators.links import domain_pagerank
+
+    # pure 3-cycle (+ a self-loop that must be ignored): uniform ranks
+    df = spark.createDataFrame(
+        [("a", "b", 1), ("b", "c", 1), ("c", "a", 1), ("a", "a", 99)],
+        "src_domain string, dst_domain string, n_links long",
+    )
+    got = {r["domain"]: r["rank"]
+           for r in domain_pagerank(df, iterations=8).collect()}
+    for v in ("a", "b", "c"):
+        assert abs(got[v] - 1.0 / 3) < 1e-9
+
+
+def test_domain_pagerank_single_domain_corpus_survives(spark):
+    # a corpus whose only edges are self-loops (one-domain crawl) keeps
+    # the domain as a dangling node with total rank 1.0
+    from gemini_ocr_batch_spark.operators.links import domain_pagerank
+
+    df = spark.createDataFrame(
+        [("only.example", "only.example", 50)],
+        "src_domain string, dst_domain string, n_links long",
+    )
+    got = domain_pagerank(df, iterations=3).collect()
+    assert len(got) == 1
+    assert got[0]["domain"] == "only.example"
+    assert abs(got[0]["rank"] - 1.0) < 1e-9
