@@ -43,15 +43,26 @@ def main(argv: list[str] | None = None) -> int:
                        help="YAML config (see gemini_ocr_batch_spark.config);"
                             " CLI flags override config values")
     run_p.add_argument("--pages", default=None)
+    run_p.add_argument("--input-format", choices=["parquet", "warc"],
+                       default="parquet",
+                       help="pages table format: parquet (default) or a "
+                            "directory of WARC files (response records "
+                            "become pages rows)")
     run_p.add_argument("--out", default=None)
     run_p.add_argument("--max-retries", type=int, default=None)
     run_p.add_argument("--partitions", type=int, default=None)
     run_p.add_argument("--master", default=None)
 
-    gen_p = sub.add_parser("gen", help="generate a synthetic pages parquet")
+    gen_p = sub.add_parser("gen", help="generate a synthetic pages table")
     gen_p.add_argument("--out", required=True)
     gen_p.add_argument("--rows", type=int, default=1000)
     gen_p.add_argument("--seed", type=int, default=42)
+    gen_p.add_argument("--format", choices=["parquet", "warc"],
+                       default="parquet",
+                       help="parquet file (default) or a directory of "
+                            "member-gzip .warc.gz segment files")
+    gen_p.add_argument("--files", type=int, default=4,
+                       help="warc format only: number of segment files")
 
     cur_p = sub.add_parser(
         "curate",
@@ -188,6 +199,18 @@ def main(argv: list[str] | None = None) -> int:
     se_p.add_argument("--n-probe", type=int, default=4)
     se_p.add_argument("--master", default=None)
 
+    wet_p = sub.add_parser(
+        "wet",
+        help="export extracted text as Common-Crawl WET "
+             "(member-gzip conversion records)",
+    )
+    wet_p.add_argument("--extracted", required=True,
+                       help="extraction output dir (the run verb's --out)")
+    wet_p.add_argument("--out", required=True, help="WET output directory")
+    wet_p.add_argument("--files", type=int, default=None,
+                       help="number of WET files (default: parallelism)")
+    wet_p.add_argument("--master", default=None)
+
     st_p = sub.add_parser("status", help="checkpoint + lineage summary")
     st_p.add_argument("--config", default=None,
                       help="same config as `run` — needed to point status "
@@ -198,11 +221,20 @@ def main(argv: list[str] | None = None) -> int:
     args = p.parse_args(argv)
 
     if args.verb == "gen":
-        from gemini_ocr_batch_spark.datagen import generate_rows, write_pages_parquet
+        from gemini_ocr_batch_spark.datagen import (
+            generate_rows,
+            write_pages_parquet,
+            write_pages_warc,
+        )
 
         rows = generate_rows(args.rows, seed=args.seed)
-        write_pages_parquet(rows, args.out)
-        print(json.dumps({"written": len(rows), "path": args.out}))
+        if args.format == "warc":
+            paths = write_pages_warc(rows, args.out, files=args.files)
+            print(json.dumps({"written": len(rows), "path": args.out,
+                              "files": len(paths)}))
+        else:
+            write_pages_parquet(rows, args.out)
+            print(json.dumps({"written": len(rows), "path": args.out}))
         return 0
 
     from gemini_ocr_batch_spark.session import get_spark
@@ -251,7 +283,15 @@ def main(argv: list[str] | None = None) -> int:
             master=args.master or (cfg.spark.master if cfg else None),
             shuffle_partitions=(cfg.spark.shuffle_partitions if cfg else None),
         )
-        pages = spark.read.parquet(pages_path)
+        if args.input_format == "warc":
+            from gemini_ocr_batch_spark.sources.warc import (
+                read_warc,
+                warc_to_pages,
+            )
+
+            pages = warc_to_pages(read_warc(spark, pages_path))
+        else:
+            pages = spark.read.parquet(pages_path)
         if cfg:
             pages = apply_input_filters(pages, cfg.filters)
         store = None
@@ -600,6 +640,25 @@ def main(argv: list[str] | None = None) -> int:
                         }
                         for r in hits
                     ]
+                }
+            )
+        )
+        return 0
+
+    if args.verb == "wet":
+        from gemini_ocr_batch_spark.job import read_extracted
+        from gemini_ocr_batch_spark.sources.warc import write_wet
+
+        spark = get_spark(master=args.master)
+        rows = read_extracted(spark, args.extracted)
+        stats = write_wet(rows, args.out, n_files=args.files).collect()
+        print(
+            json.dumps(
+                {
+                    "wet_files": len(stats),
+                    "records": sum(s.n_records for s in stats),
+                    "bytes": sum(s.n_bytes for s in stats),
+                    "path": args.out,
                 }
             )
         )

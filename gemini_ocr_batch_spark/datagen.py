@@ -171,6 +171,39 @@ def write_pages_parquet(rows: list[tuple], path: str) -> None:
     pq.write_table(table, path, row_group_size=8192)
 
 
+def write_pages_warc(rows: list[tuple], out_dir: str, files: int = 4) -> list[str]:
+    """Write the same rows as a Common-Crawl-style WARC segment: ``files``
+    member-gzip ``.warc.gz`` files, each led by a warcinfo record, pages as
+    HTTP ``response`` records (PDF blobs get ``application/pdf``).
+
+    Round-robin assignment keeps file sizes balanced the way a crawler's
+    rotating writers do; everything is deterministic (content-addressed
+    record ids, gzip mtime=0) so fixtures are rerun-stable.
+    """
+    import os
+
+    from gemini_ocr_batch_spark.kernels import warc as wk
+
+    os.makedirs(out_dir, exist_ok=True)
+    buckets: list[list[bytes]] = [[] for _ in range(files)]
+    for i, (url, ts, blob, _text, _lang) in enumerate(rows):
+        ctype = "application/pdf" if url.endswith(".pdf") else "text/html"
+        buckets[i % files].append(
+            wk.build_response_record(url, ts, blob, http_content_type=ctype)
+        )
+    paths = []
+    for f, recs in enumerate(buckets):
+        path = os.path.join(out_dir, f"seg-{f:05d}.warc.gz")
+        info = wk.build_warcinfo_record(
+            rows[0][1] if rows else dt.datetime(2026, 1, 1),
+            f"software: gemini_ocr_batch_spark datagen\r\nfile: seg-{f:05d}",
+        )
+        with open(path, "wb") as fh:
+            fh.write(wk.write_warc([info] + recs, member_gzip=True))
+        paths.append(path)
+    return paths
+
+
 def golden_extract(rows: list[tuple]) -> dict[tuple, tuple]:
     """Single-threaded golden oracle: key → (text, spans, kind, error).
 
