@@ -2003,6 +2003,224 @@ def _domain_quality_stats_oracle_sql() -> str:
         """
 
 
+def _q_shard_stats(spark, sf_dir):
+    # r6 training-shard layout: content-keyed shard assignment + the
+    # interleaved order_key, summarized per shard so the oracle checks
+    # both the hash partition and the ordering key byte-for-byte.
+    from gemini_ocr_batch_spark.operators.sampling import shard_assign
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        shard_assign(docs, "doc_id", 16)
+        .groupBy(F.col("shard").cast("bigint").alias("shard"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("order_key").alias("first_key"),
+            F.max("order_key").alias("last_key"),
+        )
+        .orderBy("shard")
+    )
+
+
+_SHARD_STATS_ORACLE = """
+            SELECT (('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                         || 'shard'), 1, 15))::BIGINT
+                    % 16) AS shard,
+                   count(*) AS n_docs,
+                   min(md5('shard|ord|' || CAST(doc_id AS VARCHAR)))
+                     AS first_key,
+                   max(md5('shard|ord|' || CAST(doc_id AS VARCHAR)))
+                     AS last_key
+            FROM documents GROUP BY 1 ORDER BY shard
+        """
+
+
+def _q_snapshot_delta(spark, sf_dir):
+    # r6 incremental-crawl delta: two snapshots synthesized from the
+    # documents table by residue filters — %11==3 keys exist only in the
+    # new crawl (added), %13==5 only in the old (removed), %7==0 rows
+    # have their text perturbed (changed), the rest are unchanged — so
+    # every CASE branch of the classifier fires.
+    from gemini_ocr_batch_spark.operators.webtext import snapshot_delta
+
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 11 != 3).select(
+        F.col("doc_id").cast("string").alias("url"), "text"
+    )
+    new = docs.filter(F.col("doc_id") % 13 != 5).select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit("!"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return snapshot_delta(old, new, key_col="url").orderBy("url")
+
+
+_SNAPSHOT_DELTA_ORACLE = """
+            WITH old_side AS (
+              SELECT CAST(doc_id AS VARCHAR) AS url,
+                     min(md5(coalesce(text, ''))) AS old_digest
+              FROM documents WHERE doc_id % 11 <> 3 GROUP BY 1
+            ),
+            new_side AS (
+              SELECT CAST(doc_id AS VARCHAR) AS url,
+                     min(md5(coalesce(
+                       CASE WHEN doc_id % 7 = 0 THEN text || '!'
+                            ELSE text END, ''))) AS new_digest
+              FROM documents WHERE doc_id % 13 <> 5 GROUP BY 1
+            )
+            SELECT coalesce(o.url, n.url) AS url,
+                   old_digest, new_digest,
+                   CASE WHEN old_digest IS NULL THEN 'added'
+                        WHEN new_digest IS NULL THEN 'removed'
+                        WHEN old_digest = new_digest THEN 'unchanged'
+                        ELSE 'changed' END AS status
+            FROM old_side o FULL OUTER JOIN new_side n ON o.url = n.url
+            ORDER BY url
+        """
+
+
+def _q_pack_sequences(spark, sf_dir):
+    # r6 training-sequence packing plan: concat-and-chunk spans at
+    # seq_len=512 over the bpe-estimate token counts, 4 shards.
+    from gemini_ocr_batch_spark.operators.sampling import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    with_tok = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.ceil(F.length(F.col("text")) / F.lit(4))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    plan = pack_sequences(
+        with_tok, "doc_id", "n_tokens", seq_len=512, n_shards=4
+    )
+    return plan.select(
+        "doc_id",
+        F.col("shard").cast("bigint").alias("shard"),
+        "order_key",
+        "n_tokens",
+        "tok_offset",
+        "seq_first",
+        "seq_last",
+    ).orderBy("doc_id")
+
+
+_PACK_SEQUENCES_ORACLE = """
+            WITH t AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                     coalesce(CAST(ceil(length(text) / 4.0) AS BIGINT), 0)
+                       AS n
+              FROM documents
+            ),
+            a AS (
+              SELECT doc_id,
+                     (('0x' || substr(md5(doc_id || 'shard'), 1, 15))
+                        ::BIGINT % 4) AS shard,
+                     md5('shard|ord|' || doc_id) AS order_key,
+                     n
+              FROM t
+            ),
+            o AS (
+              SELECT doc_id, shard, order_key, n,
+                     CAST(coalesce(sum(n) OVER (
+                       PARTITION BY shard ORDER BY order_key
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS BIGINT) AS tok_offset
+              FROM a
+            )
+            SELECT doc_id, shard, order_key,
+                   n AS n_tokens, tok_offset,
+                   tok_offset // 512 AS seq_first,
+                   (tok_offset + greatest(n, 1) - 1) // 512 AS seq_last
+            FROM o ORDER BY doc_id
+        """
+
+
+def _q_domain_pagerank(spark, sf_dir):
+    # r6 crawl-authority signal: weighted damped PageRank over a
+    # deterministic 13-domain multigraph synthesized from doc_id residues
+    # (7 source domains, 13 target domains → d7..d12 are dangling, d0
+    # carries self-loops — every semantic branch of the operator fires).
+    # Ranks quantized at 1e-9: float-sum association differs across
+    # engines only at ~1e-15 relative, far inside the grid.
+    from gemini_ocr_batch_spark.operators.links import domain_pagerank
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = (
+        docs.select(
+            F.concat(
+                F.lit("d"), (F.col("doc_id") % 7).cast("string")
+            ).alias("src_domain"),
+            F.concat(
+                F.lit("d"), ((F.col("doc_id") * 3) % 13).cast("string")
+            ).alias("dst_domain"),
+        )
+        .groupBy("src_domain", "dst_domain")
+        .agg(F.count(F.lit(1)).alias("n_links"))
+    )
+    ranks = domain_pagerank(edges, iterations=8)
+    return ranks.select(
+        "domain",
+        F.floor(F.col("rank") * 1e9 + F.lit(0.5))
+        .cast("bigint")
+        .alias("rank_x1e9"),
+    ).orderBy("domain")
+
+
+# DuckDB twin of the operator's power iteration: the recursive working
+# table holds iteration k's (domain, rank) rows; correlated aggregate
+# subqueries compute the weighted in-rank and the dangling mass exactly as
+# the Spark loop does (edge-share static table, uniform dangling
+# redistribution, base (1-d)/n, self-loops dropped AFTER the node set is
+# fixed so self-only domains persist as dangling nodes).
+_DOMAIN_PAGERANK_ORACLE = """
+            WITH RECURSIVE
+            raw AS (
+              SELECT 'd' || (doc_id % 7) AS src,
+                     'd' || ((doc_id * 3) % 13) AS dst,
+                     CAST(count(*) AS DOUBLE) AS w
+              FROM documents GROUP BY 1, 2
+            ),
+            nodes AS (
+              SELECT DISTINCT domain FROM (
+                SELECT src AS domain FROM raw
+                UNION SELECT dst FROM raw)
+            ),
+            nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+            edges AS (SELECT * FROM raw WHERE src <> dst),
+            out_w AS (SELECT src, sum(w) AS ow FROM edges GROUP BY src),
+            share AS (
+              SELECT e.src, e.dst, e.w / o.ow AS share
+              FROM edges e JOIN out_w o USING (src)
+            ),
+            pr(it, domain, rank) AS (
+              SELECT 0, domain, 1.0 / (SELECT n FROM nn) FROM nodes
+              UNION ALL
+              SELECT p.it + 1, p.domain,
+                (0.15 / (SELECT n FROM nn))
+                + 0.85 * (
+                    coalesce((SELECT sum(s.share * p2.rank)
+                              FROM share s
+                              JOIN pr p2 ON p2.domain = s.src
+                              WHERE s.dst = p.domain), 0)
+                    + coalesce((SELECT sum(p3.rank) FROM pr p3
+                                WHERE p3.domain NOT IN
+                                      (SELECT src FROM out_w)), 0)
+                      / (SELECT n FROM nn)
+                  )
+              FROM pr p
+              WHERE p.it < 8
+            )
+            SELECT domain,
+                   CAST(floor(rank * 1000000000 + 0.5) AS BIGINT)
+                     AS rank_x1e9
+            FROM pr WHERE it = 8 ORDER BY domain
+        """
+
+
 def _q_blocklist_flags(spark, sf_dir):
     # r6 URL/domain blocklist: hosts synthesized from doc_id%5 exercise
     # every match mode — exact host, direct + deep subdomain suffix,
@@ -2448,6 +2666,22 @@ def local_parity() -> dict[str, tuple]:
         "domain_quality_stats": (
             _q_domain_quality_stats,
             _domain_quality_stats_oracle_sql(),
+        ),
+        "domain_pagerank": (
+            _q_domain_pagerank,
+            _DOMAIN_PAGERANK_ORACLE,
+        ),
+        "shard_stats": (
+            _q_shard_stats,
+            _SHARD_STATS_ORACLE,
+        ),
+        "snapshot_delta": (
+            _q_snapshot_delta,
+            _SNAPSHOT_DELTA_ORACLE,
+        ),
+        "pack_sequences": (
+            _q_pack_sequences,
+            _PACK_SEQUENCES_ORACLE,
         ),
         "stream_dedup_twin": (
             _q_stream_dedup_twin,

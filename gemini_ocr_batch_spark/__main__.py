@@ -211,6 +211,21 @@ def main(argv: list[str] | None = None) -> int:
                        help="number of WET files (default: parallelism)")
     wet_p.add_argument("--master", default=None)
 
+    sh_p = sub.add_parser(
+        "shard",
+        help="materialize a corpus as deterministic interleaved "
+             "training shards",
+    )
+    sh_p.add_argument("--in", dest="in_path", required=True,
+                      help="input parquet (e.g. the curate verb's corpus)")
+    sh_p.add_argument("--out", required=True, help="shard output directory")
+    sh_p.add_argument("--shards", type=int, default=16)
+    sh_p.add_argument("--key-col", default="url")
+    sh_p.add_argument("--text-col", default="text",
+                      help="text column for per-shard token stats "
+                           "('' to skip token counting)")
+    sh_p.add_argument("--master", default=None)
+
     st_p = sub.add_parser("status", help="checkpoint + lineage summary")
     st_p.add_argument("--config", default=None,
                       help="same config as `run` — needed to point status "
@@ -658,6 +673,61 @@ def main(argv: list[str] | None = None) -> int:
                     "wet_files": len(stats),
                     "records": sum(s.n_records for s in stats),
                     "bytes": sum(s.n_bytes for s in stats),
+                    "path": args.out,
+                }
+            )
+        )
+        return 0
+
+    if args.verb == "shard":
+        from pyspark.sql import functions as F
+
+        from gemini_ocr_batch_spark.functions.hashing import tokens
+        from gemini_ocr_batch_spark.operators.sampling import (
+            write_training_shards,
+        )
+
+        spark = get_spark(master=args.master)
+        corpus = spark.read.parquet(args.in_path)
+        token_col = None
+        text_col = args.text_col
+        if text_col == "text" and "text" not in corpus.columns \
+                and "extracted_text" in corpus.columns:
+            # the run/curate verbs emit `extracted_text`; make the
+            # default work on their output without an extra flag
+            text_col = "extracted_text"
+        if text_col and text_col not in corpus.columns:
+            print(
+                f"shard: text column {text_col!r} not in input "
+                f"(columns: {', '.join(corpus.columns)}); pass "
+                f"--text-col or --text-col=''",
+                file=sys.stderr,
+            )
+            return 2
+        if text_col:
+            # pure column expr — rides the same scan, no extra pass
+            corpus = corpus.withColumn(
+                "doc_tokens",
+                F.size(tokens(text_col, lowercase=False)).cast("bigint"),
+            )
+            token_col = "doc_tokens"
+        stats = write_training_shards(
+            corpus,
+            args.key_col,
+            args.out,
+            n_shards=args.shards,
+            token_col=token_col,
+        ).collect()
+        print(
+            json.dumps(
+                {
+                    "shards": len(stats),
+                    "docs": sum(int(s.n_docs) for s in stats),
+                    "tokens": (
+                        sum(int(s.n_tokens) for s in stats)
+                        if token_col
+                        else None
+                    ),
                     "path": args.out,
                 }
             )

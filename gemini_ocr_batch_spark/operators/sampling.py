@@ -17,7 +17,7 @@ bucket in [0, 10000).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from gemini_ocr_batch_spark.functions.hashing import h60
@@ -178,3 +178,136 @@ def split_case_sql_duckdb(key_expr: str,
         parts.append(f"WHEN {b} < {upper} THEN '{name}'")
     parts.append(f"ELSE '{names[-1]}' END")
     return " ".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# training-shard materialization
+# ---------------------------------------------------------------------------
+
+
+def shard_assign(df: DataFrame, key_col: str, n_shards: int,
+                 salt: str = "shard") -> DataFrame:
+    """Add ``shard`` (0..n_shards-1) and ``order_key`` columns — the
+    deterministic layout step between a planned mixture and files on disk.
+
+    ``shard`` is content-keyed (hash % n_shards), so every document lands
+    in the same shard on every rerun and shards are count-balanced in
+    expectation. ``order_key`` (md5 of the salted key) gives a
+    pseudo-random but reproducible within-shard order: sorting by it
+    interleaves sources/languages, so a trainer streaming a shard
+    sequentially never sees one source in a long run — the property batch
+    mixing needs and a timestamp- or url-sorted layout lacks.
+
+    DuckDB twins: shard = ``h60_sql_duckdb(key||salt) % n``, order_key =
+    ``md5(salt || '|ord|' || key)``.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    key = F.col(key_col).cast("string")
+    shard = (h60(F.concat(key, F.lit(salt))) % n_shards).cast("int")
+    order_key = F.md5(F.concat(F.lit(f"{salt}|ord|"), key))
+    return df.withColumn("shard", shard).withColumn("order_key", order_key)
+
+
+def write_training_shards(df: DataFrame, key_col: str, out_dir: str,
+                          n_shards: int, token_col: str | None = None,
+                          salt: str = "shard") -> DataFrame:
+    """Materialize a (sampled, curated) corpus as training shards:
+    ``out_dir/shard=N/`` parquet, one file per shard, rows in the
+    deterministic interleaved order of :func:`shard_assign`.
+
+    Scale shape: one shuffle — ``repartition(n_shards, shard)`` co-locates
+    each shard value in exactly one task (hash partitioning sends equal
+    keys to one partition), the within-partition sort is spillable, and
+    ``partitionBy`` then emits one file per shard directory. Token
+    balance across shards is the hash-sampling argument: assignment is
+    independent of document length, so per-shard token sums concentrate
+    around total/n for any corpus that is large relative to n_shards.
+
+    Returns the per-shard stats frame (shard, n_docs, n_tokens) read back
+    from the written files — computed from disk, not the plan, so the
+    numbers describe what a trainer will actually read.
+    """
+    assigned = shard_assign(df, key_col, n_shards, salt=salt)
+    (
+        assigned.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "order_key")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(out_dir)
+    )
+    back = df.sparkSession.read.parquet(out_dir)
+    tokens_expr = (
+        F.sum(F.col(token_col)).cast("bigint")
+        if token_col
+        else F.lit(None).cast("bigint")
+    )
+    return (
+        back.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            tokens_expr.alias("n_tokens"),
+        )
+        .orderBy("shard")
+    )
+
+def pack_sequences(df: DataFrame, key_col: str, token_col: str,
+                   seq_len: int, n_shards: int = 1,
+                   salt: str = "shard") -> DataFrame:
+    """Concat-and-chunk sequence-packing plan (the GPT-family training
+    layout: concatenate documents in a fixed order, slice the stream into
+    ``seq_len``-token training sequences; documents may straddle a
+    boundary). Emits one row per document with its span in the packed
+    stream:
+
+    - ``shard``, ``order_key`` — the deterministic interleaved layout of
+      :func:`shard_assign` (same salt ⇒ same placement as the written
+      shards, so the plan describes the files a trainer actually reads);
+    - ``tok_offset`` — the document's first-token position within its
+      shard's concatenated stream;
+    - ``seq_first`` / ``seq_last`` — the range of ``seq_len``-sized
+      sequences the document's tokens touch (zero-token documents carry
+      their boundary position: ``seq_last == seq_first``).
+
+    Per-shard sequence count is ``ceil(shard_tokens / seq_len)`` —
+    exactly ``max(seq_last) + 1`` for the shard.
+
+    Scale shape: ONE slim shuffle — the window partitions by ``shard``
+    and orders by ``order_key`` over rows of (key, n_tokens); text never
+    enters the plan. A running-sum window over a hash-bucketed stream is
+    the standard distributed form of this inherently sequential layout:
+    parallelism comes from shards, which is also the training-time unit
+    of parallelism, so the plan parallelizes exactly as wide as the
+    consumer does.
+
+    DuckDB twin: same md5 shard/order keys + ``sum(...) OVER (PARTITION
+    BY shard ORDER BY order_key ROWS UNBOUNDED PRECEDING AND 1
+    PRECEDING)`` and integer division — see the parity pair.
+    """
+    if seq_len < 1:
+        raise ValueError(f"seq_len must be >= 1, got {seq_len}")
+    n_tok = F.coalesce(F.col(token_col).cast("bigint"), F.lit(0))
+    assigned = shard_assign(
+        df.select(F.col(key_col), n_tok.alias("__n")), key_col, n_shards,
+        salt=salt,
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("order_key")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offset = F.coalesce(F.sum("__n").over(w), F.lit(0))
+    out = assigned.withColumn("tok_offset", offset)
+    seq_first = F.expr(f"tok_offset div {seq_len}")
+    seq_last = F.expr(
+        f"(tok_offset + greatest(__n, 1L) - 1L) div {seq_len}"
+    )
+    return out.select(
+        F.col(key_col),
+        "shard",
+        "order_key",
+        F.col("__n").alias("n_tokens"),
+        "tok_offset",
+        seq_first.cast("bigint").alias("seq_first"),
+        seq_last.cast("bigint").alias("seq_last"),
+    )

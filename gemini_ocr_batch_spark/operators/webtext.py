@@ -319,6 +319,61 @@ def latest_snapshot(pages: DataFrame, key_col: str = "url",
     )
 
 
+def snapshot_delta(old: DataFrame, new: DataFrame, key_col: str = "url",
+                   text_col: str = "text",
+                   digest_col: str | None = None) -> DataFrame:
+    """Incremental-crawl delta (CDX-style): classify every key across two
+    crawl snapshots as ``added`` / ``removed`` / ``changed`` /
+    ``unchanged`` by content digest.
+
+    The recrawl workflow this serves: a new crawl lands next to the
+    previous one, and every downstream pass (re-extraction, dedup,
+    index refresh) wants to touch only ``added`` + ``changed`` keys —
+    at Common-Crawl scale that is typically <20% of the table, so the
+    delta gates an ~5× saving on every pass behind it.
+
+    Scale shape: each side is reduced to ``(key, digest)`` BEFORE the
+    full-outer join, so the one shuffle carries two ~32-byte columns per
+    row — text/html never moves. Inputs with duplicate keys (unresolved
+    revisits) are collapsed with ``min(digest)`` for determinism; run
+    :func:`latest_snapshot` first when revisit semantics matter. Passing
+    ``digest_col`` skips the md5 and uses a precomputed digest (the
+    checkpoint table already stores one per completed key).
+
+    DuckDB twin: FULL OUTER JOIN on key over the same
+    ``md5(coalesce(text, ''))`` reductions with an identical CASE chain.
+    """
+    def slim(df: DataFrame, out: str) -> DataFrame:
+        d = (
+            F.col(digest_col)
+            if digest_col
+            else F.md5(F.coalesce(F.col(text_col), F.lit("")))
+        )
+        return (
+            df.select(F.col(key_col).alias("__key"), d.alias(out))
+            .groupBy("__key")
+            .agg(F.min(out).alias(out))
+        )
+
+    joined = slim(old, "old_digest").join(
+        slim(new, "new_digest"), "__key", "full_outer"
+    )
+    status = (
+        F.when(F.col("old_digest").isNull(), F.lit("added"))
+        .when(F.col("new_digest").isNull(), F.lit("removed"))
+        .when(
+            F.col("old_digest") == F.col("new_digest"), F.lit("unchanged")
+        )
+        .otherwise(F.lit("changed"))
+    )
+    return joined.select(
+        F.col("__key").alias(key_col),
+        "old_digest",
+        "new_digest",
+        status.alias("status"),
+    )
+
+
 def normalize_text(docs: DataFrame, id_col: str = "doc_id",
                    text_col: str = "text",
                    out_col: str | None = None) -> DataFrame:

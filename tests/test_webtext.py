@@ -611,3 +611,42 @@ def test_latest_snapshot_slim_keeps_null_ts_keys(spark):
             for r in latest_snapshot(df, slim=True).collect()}
     assert dense == slim
     assert ("k1", "only") in slim
+
+def test_snapshot_delta_classifies_all_four(spark):
+    from gemini_ocr_batch_spark.operators.webtext import snapshot_delta
+
+    old = spark.createDataFrame(
+        [("a", "same"), ("b", "old-text"), ("c", "gone"), ("c", "gone2")],
+        ["url", "text"],
+    )
+    new = spark.createDataFrame(
+        [("a", "same"), ("b", "new-text"), ("d", "fresh"), ("e", None)],
+        ["url", "text"],
+    )
+    got = {r["url"]: r["status"]
+           for r in snapshot_delta(old, new).collect()}
+    assert got == {"a": "unchanged", "b": "changed", "c": "removed",
+                   "d": "added", "e": "added"}
+    # duplicate keys collapse deterministically (min digest), no fan-out
+    assert snapshot_delta(old, new).count() == 5
+
+
+def test_snapshot_delta_precomputed_digest_and_slim_plan(spark, tmp_path):
+    from gemini_ocr_batch_spark.operators.webtext import snapshot_delta
+
+    spark.createDataFrame(
+        [("a", "h1", "BIGTEXT" * 100)], ["url", "dg", "text"]
+    ).write.parquet(str(tmp_path / "old"))
+    spark.createDataFrame(
+        [("a", "h2", "BIGTEXT" * 100)], ["url", "dg", "text"]
+    ).write.parquet(str(tmp_path / "new"))
+    old = spark.read.parquet(str(tmp_path / "old"))
+    new = spark.read.parquet(str(tmp_path / "new"))
+    out = snapshot_delta(old, new, digest_col="dg")
+    assert out.collect()[0]["status"] == "changed"
+    # column pruning reaches the scan: text never leaves the parquet
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "ReadSchema" in line:
+            assert "text" not in line, line
+    assert "ReadSchema" in plan
