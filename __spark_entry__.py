@@ -2139,6 +2139,68 @@ _PACK_SEQUENCES_ORACLE = """
         """
 
 
+def _q_ngram_logprob(spark, sf_dir):
+    # r6 CCNet-style LM quality signal: train a Laplace bigram model on
+    # the corpus itself (min_count=2 prunes singleton grams), then score
+    # every document by average per-gram log-prob in x10000 fixed-point
+    # (integer sums — deterministic under any partitioning/engine).
+    from gemini_ocr_batch_spark.operators.lm import (
+        ngram_logprob,
+        train_ngram_lm,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    uni, big = train_ngram_lm(docs, min_count=2)
+    return ngram_logprob(docs, uni, big)
+
+
+_NGRAM_LOGPROB_ORACLE = f"""
+            WITH tok AS (
+              SELECT doc_id, {_TOKENS} AS toks FROM documents
+            ),
+            grams AS (
+              SELECT doc_id,
+                     array_to_string(toks[i : i + 1], ' ') AS g,
+                     toks[i] AS w1
+              FROM tok, generate_series(1, 512) AS gs(i)
+              WHERE i <= len(toks) - 1
+            ),
+            uni AS (
+              SELECT t AS w, count(*) AS c
+              FROM tok, unnest(toks) AS u(t)
+              GROUP BY t HAVING count(*) >= 2
+            ),
+            big AS (
+              SELECT g, count(*) AS c FROM grams
+              GROUP BY g HAVING count(*) >= 2
+            ),
+            v AS (SELECT count(*) AS v FROM uni),
+            scored AS (
+              SELECT grams.doc_id,
+                     CAST(floor(ln(
+                       (coalesce(big.c, 0) + 1)::DOUBLE
+                       / (coalesce(uni.c, 0) + v.v)::DOUBLE
+                     ) * 10000 + 0.5) AS BIGINT) AS lp_q
+              FROM grams
+              LEFT JOIN big USING (g)
+              LEFT JOIN uni ON grams.w1 = uni.w
+              CROSS JOIN v
+            ),
+            agg AS (
+              SELECT doc_id, count(*) AS n_grams,
+                     sum(lp_q) AS sum_lp_x10000
+              FROM scored GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(a.n_grams, 0) AS n_grams,
+                   CAST(a.sum_lp_x10000 AS BIGINT) AS sum_lp_x10000,
+                   CAST(a.sum_lp_x10000 // a.n_grams AS BIGINT)
+                     AS avg_lp_x10000
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+            ORDER BY d.doc_id
+        """
+
+
 def _q_domain_pagerank(spark, sf_dir):
     # r6 crawl-authority signal: weighted damped PageRank over a
     # deterministic 13-domain multigraph synthesized from doc_id residues
@@ -2682,6 +2744,10 @@ def local_parity() -> dict[str, tuple]:
         "pack_sequences": (
             _q_pack_sequences,
             _PACK_SEQUENCES_ORACLE,
+        ),
+        "ngram_logprob": (
+            _q_ngram_logprob,
+            _NGRAM_LOGPROB_ORACLE,
         ),
         "stream_dedup_twin": (
             _q_stream_dedup_twin,

@@ -128,6 +128,7 @@ def main() -> int:
         "stratified_sample",
         "blocklist_flags",
         "repeated_spans",
+        "ngram_logprob",
     ]
     # NOTE vs BENCH_r03: redact_pii + repetition_score are NEW lines (r4
     # webtext operators) — the headline total gained their cost; compare
@@ -135,8 +136,9 @@ def main() -> int:
     # NOTE vs BENCH_r04: decontaminate + stratified_sample are NEW lines
     # (r5 training-pipeline operators, registered in local_parity()) —
     # same caveat.
-    # NOTE vs BENCH_r05: blocklist_flags + repeated_spans are NEW lines
-    # (r6 crawl-filter + substring-dedup operators) — same caveat.
+    # NOTE vs BENCH_r05: blocklist_flags + repeated_spans + ngram_logprob
+    # are NEW lines (r6 crawl-filter + substring-dedup + CCNet-LM
+    # operators) — same caveat.
     qs = dict(qs)
     qs.update({k: fn for k, (fn, _sql) in entrymod.local_parity().items()})
     # Warm each query's plan once at sf0.001 (untimed): Janino codegen +

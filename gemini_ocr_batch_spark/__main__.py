@@ -226,6 +226,39 @@ def main(argv: list[str] | None = None) -> int:
                            "('' to skip token counting)")
     sh_p.add_argument("--master", default=None)
 
+    lt_p = sub.add_parser(
+        "lm-train",
+        help="train a Laplace bigram LM on a trusted corpus and persist "
+             "the count tables (CCNet-style quality model)",
+    )
+    lt_p.add_argument("--corpus", required=True,
+                      help="trusted-corpus parquet with a text column")
+    lt_p.add_argument("--out", required=True, help="model directory")
+    lt_p.add_argument("--text-col", default="text")
+    lt_p.add_argument("--min-count", type=int, default=2)
+    lt_p.add_argument("--top-k", type=int, default=None,
+                      help="cap each model table at the k most frequent "
+                           "grams (bounds the scoring broadcast)")
+    lt_p.add_argument("--master", default=None)
+
+    ls_p = sub.add_parser(
+        "lm-score",
+        help="score a corpus against a persisted LM (avg bigram log-prob "
+             "x10000); with --floor, write the filtered corpus instead",
+    )
+    ls_p.add_argument("--corpus", required=True,
+                      help="corpus parquet with (id, text) columns")
+    ls_p.add_argument("--model", required=True,
+                      help="directory written by lm-train")
+    ls_p.add_argument("--out", default=None,
+                      help="output parquet (omit to just report the count)")
+    ls_p.add_argument("--id-col", default="doc_id")
+    ls_p.add_argument("--text-col", default="text")
+    ls_p.add_argument("--floor", type=int, default=None,
+                      help="min avg_lp_x10000 — documents below are "
+                           "dropped (unscorable short docs are kept)")
+    ls_p.add_argument("--master", default=None)
+
     st_p = sub.add_parser("status", help="checkpoint + lineage summary")
     st_p.add_argument("--config", default=None,
                       help="same config as `run` — needed to point status "
@@ -658,6 +691,37 @@ def main(argv: list[str] | None = None) -> int:
                 }
             )
         )
+        return 0
+
+    if args.verb == "lm-train":
+        from gemini_ocr_batch_spark.operators.lm import run_lm_train_job
+
+        spark = get_spark(master=args.master)
+        meta = run_lm_train_job(
+            spark,
+            args.corpus,
+            args.out,
+            text_col=args.text_col,
+            min_count=args.min_count,
+            top_k=args.top_k,
+        )
+        print(json.dumps({**meta, "path": args.out}))
+        return 0
+
+    if args.verb == "lm-score":
+        from gemini_ocr_batch_spark.operators.lm import run_lm_score_job
+
+        spark = get_spark(master=args.master)
+        res = run_lm_score_job(
+            spark,
+            args.corpus,
+            args.model,
+            out_path=args.out,
+            id_col=args.id_col,
+            text_col=args.text_col,
+            min_avg_lp_x10000=args.floor,
+        )
+        print(json.dumps(res))
         return 0
 
     if args.verb == "wet":
