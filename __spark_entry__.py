@@ -2201,6 +2201,69 @@ _NGRAM_LOGPROB_ORACLE = f"""
         """
 
 
+def _q_dsir_weights(spark, sf_dir):
+    # r6 DSIR selection signal (Xie et al. 2023): hashed uni+bigram
+    # importance weights of every document against a trusted target
+    # (doc_id%5==0 — deterministic, ~20% of the corpus). Fixed-point
+    # integer sums; the oracle replays the same md5 bucket hash.
+    from gemini_ocr_batch_spark.operators.dsir import dsir_log_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    trusted = docs.filter(F.col("doc_id") % 5 == 0)
+    return dsir_log_weights(docs, trusted)
+
+
+_DSIR_WEIGHTS_ORACLE = f"""
+            WITH tok AS (
+              SELECT doc_id, {_TOKENS} AS toks FROM documents
+            ),
+            grams AS (
+              SELECT doc_id, t AS g FROM tok, unnest(toks) AS u(t)
+              UNION ALL
+              SELECT doc_id, array_to_string(toks[i : i + 1], ' ') AS g
+              FROM tok, generate_series(1, 512) AS gs(i)
+              WHERE i <= len(toks) - 1
+            ),
+            gb AS (
+              SELECT doc_id,
+                     (('0x' || substr(md5(g || 'dsir'), 1, 15))::BIGINT
+                      % 10000) AS bucket
+              FROM grams
+            ),
+            p AS (
+              SELECT bucket, count(*) AS pc FROM gb
+              WHERE doc_id % 5 = 0 GROUP BY bucket
+            ),
+            q AS (
+              SELECT bucket, count(*) AS qc FROM gb GROUP BY bucket
+            ),
+            pt AS (SELECT coalesce(sum(pc), 0) AS ptot FROM p),
+            qt AS (SELECT coalesce(sum(qc), 0) AS qtot FROM q),
+            scored AS (
+              SELECT gb.doc_id,
+                     CAST(floor((
+                       ln((coalesce(p.pc, 0) + 1)::DOUBLE
+                          / (pt.ptot + 10000)::DOUBLE)
+                       - ln((coalesce(q.qc, 0) + 1)::DOUBLE
+                            / (qt.qtot + 10000)::DOUBLE)
+                     ) * 10000 + 0.5) AS BIGINT) AS lr_q
+              FROM gb
+              LEFT JOIN p USING (bucket)
+              LEFT JOIN q USING (bucket)
+              CROSS JOIN pt CROSS JOIN qt
+            ),
+            agg AS (
+              SELECT doc_id, count(*) AS n_grams, sum(lr_q) AS logw
+              FROM scored GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(a.n_grams, 0) AS n_grams,
+                   CAST(a.logw AS BIGINT) AS logw_x10000
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+            ORDER BY d.doc_id
+        """
+
+
 def _q_domain_pagerank(spark, sf_dir):
     # r6 crawl-authority signal: weighted damped PageRank over a
     # deterministic 13-domain multigraph synthesized from doc_id residues
@@ -2748,6 +2811,10 @@ def local_parity() -> dict[str, tuple]:
         "ngram_logprob": (
             _q_ngram_logprob,
             _NGRAM_LOGPROB_ORACLE,
+        ),
+        "dsir_weights": (
+            _q_dsir_weights,
+            _DSIR_WEIGHTS_ORACLE,
         ),
         "stream_dedup_twin": (
             _q_stream_dedup_twin,

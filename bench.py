@@ -129,6 +129,7 @@ def main() -> int:
         "blocklist_flags",
         "repeated_spans",
         "ngram_logprob",
+        "dsir_weights",
     ]
     # NOTE vs BENCH_r03: redact_pii + repetition_score are NEW lines (r4
     # webtext operators) — the headline total gained their cost; compare
@@ -137,8 +138,8 @@ def main() -> int:
     # (r5 training-pipeline operators, registered in local_parity()) —
     # same caveat.
     # NOTE vs BENCH_r05: blocklist_flags + repeated_spans + ngram_logprob
-    # are NEW lines (r6 crawl-filter + substring-dedup + CCNet-LM
-    # operators) — same caveat.
+    # + dsir_weights are NEW lines (r6 crawl-filter + substring-dedup +
+    # CCNet-LM + DSIR-selection operators) — same caveat.
     qs = dict(qs)
     qs.update({k: fn for k, (fn, _sql) in entrymod.local_parity().items()})
     # Warm each query's plan once at sf0.001 (untimed): Janino codegen +

@@ -259,6 +259,29 @@ def main(argv: list[str] | None = None) -> int:
                            "dropped (unscorable short docs are kept)")
     ls_p.add_argument("--master", default=None)
 
+    sel_p = sub.add_parser(
+        "select",
+        help="DSIR data selection: pick k documents from a raw corpus "
+             "whose hashed-ngram distribution matches a trusted corpus "
+             "(Gumbel-top-k over importance weights)",
+    )
+    sel_p.add_argument("--corpus", required=True,
+                       help="raw-pool parquet with (id, text) columns")
+    sel_p.add_argument("--trusted", required=True,
+                       help="trusted-target parquet with a text column")
+    sel_p.add_argument("--k", type=int, required=True,
+                       help="number of documents to select")
+    sel_p.add_argument("--out", required=True,
+                       help="output parquet: the selected corpus rows")
+    sel_p.add_argument("--id-col", default="doc_id")
+    sel_p.add_argument("--text-col", default="text",
+                       help="text column of the raw corpus")
+    sel_p.add_argument("--trusted-text-col", default=None,
+                       help="text column of the trusted corpus "
+                            "(default: same as --text-col)")
+    sel_p.add_argument("--n-buckets", type=int, default=10_000)
+    sel_p.add_argument("--master", default=None)
+
     st_p = sub.add_parser("status", help="checkpoint + lineage summary")
     st_p.add_argument("--config", default=None,
                       help="same config as `run` — needed to point status "
@@ -722,6 +745,32 @@ def main(argv: list[str] | None = None) -> int:
             min_avg_lp_x10000=args.floor,
         )
         print(json.dumps(res))
+        return 0
+
+    if args.verb == "select":
+        from gemini_ocr_batch_spark.operators.dsir import dsir_resample
+
+        spark = get_spark(master=args.master)
+        raw = spark.read.parquet(args.corpus)
+        trusted = spark.read.parquet(args.trusted)
+        picked = dsir_resample(
+            raw,
+            trusted,
+            args.k,
+            id_col=args.id_col,
+            text_col=args.text_col,
+            n_buckets=args.n_buckets,
+            trusted_text_col=args.trusted_text_col,
+        )
+        # semi-join the slim picked-keys table back — corpus text rows
+        # never enter the top-k ranking; no broadcast hint: k is
+        # user-sized (can be billions at scale), AQE picks the strategy
+        keys = picked.select(args.id_col)
+        out = raw.join(keys, args.id_col, "semi")
+        out.write.mode("overwrite").parquet(args.out)
+        n = spark.read.parquet(args.out).count()
+        print(json.dumps({"requested_k": args.k, "selected": n,
+                          "out": args.out}))
         return 0
 
     if args.verb == "wet":

@@ -1,0 +1,196 @@
+"""DSIR — Data Selection via Importance Resampling (Xie et al., 2023).
+
+The published method picks pretraining data that *distributionally*
+matches a trusted target corpus: featurize every document as hashed
+n-gram bucket counts, fit two smoothed bucket distributions — p̂ from
+the trusted corpus, q̂ from the raw pool — weight each raw document by
+its log importance ratio ``Σ_grams ln(p̂_bucket / q̂_bucket)``, then
+sample without replacement with Gumbel-top-k over the weights. It is
+the selection step used by several public LLM data pipelines where the
+bigram-LM score (:mod:`operators.lm`) is the *quality* step; the two
+compose (quality-floor first, DSIR-match second).
+
+Spark-first shape, all exact-oracle checkable:
+
+- buckets come from the repo's cross-engine ``h60`` md5 hash (same
+  bytes in DuckDB) — NOT Spark's ``hash()`` (Murmur3 seeds differ by
+  engine and version, which would make the picked set unverifiable);
+- the bucket count tables shuffle only ``(bucket, count)`` pairs and
+  have at most ``n_buckets`` rows — the per-bucket log-ratio table is
+  a broadcast, never a shuffle;
+- per-gram log-ratios are quantized to x10000 fixed-point BEFORE the
+  per-document sum, so scores are integer sums — identical under any
+  partitioning, retry, or engine;
+- Gumbel keys derive from ``h60(id)`` uniforms, not engine RNG — the
+  resampled set is a pure function of content, reproducible across
+  reruns and reshards (same argument as sampling.py's hash sampling).
+
+Reference parity: the reference has no distribution-matching selection
+(its scanner keeps whole key ranges, src/scanner.py:60-77); this is
+part of the beyond-reference training-data-pipeline surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gemini_ocr_batch_spark.functions.hashing import h60, shingles, tokens
+
+_BUCKETS = 10_000
+_Q = 10_000  # fixed-point scale for log-ratios and Gumbel keys
+
+
+def _grams(text_col: str):
+    """Unigrams + bigrams as one array (the DSIR feature set)."""
+    toks = tokens(text_col)
+    return F.concat(toks, shingles(toks, 2))
+
+
+def hashed_bucket_counts(docs: DataFrame, text_col: str = "text",
+                         n_buckets: int = _BUCKETS,
+                         salt: str = "dsir") -> DataFrame:
+    """(bucket, c) counts of hashed uni+bigram features over a corpus.
+
+    One explode + one groupBy; the shuffle carries (bucket, partial
+    count) with at most ``n_buckets`` distinct keys — map-side combine
+    collapses it to executor-count × n_buckets rows regardless of
+    corpus size.
+    """
+    g = docs.select(F.explode(_grams(text_col)).alias("g"))
+    return (
+        g.select((h60(F.concat(F.col("g"), F.lit(salt))) % n_buckets)
+                 .alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def _log_ratio_table(spark: SparkSession, p_counts: DataFrame,
+                     q_counts: DataFrame, n_buckets: int) -> DataFrame:
+    """Per-bucket quantized log importance ratio, densified over all
+    buckets (a gram can hash into a bucket unseen in either corpus —
+    both Laplace floors apply there, a nonzero constant)."""
+    # scalar audit aggregates over model-sized tables (≤ n_buckets rows)
+    p_tot = p_counts.agg(F.sum("c")).collect()[0][0] or 0
+    q_tot = q_counts.agg(F.sum("c")).collect()[0][0] or 0
+    all_b = spark.range(n_buckets).select(F.col("id").alias("bucket"))
+    joined = (
+        all_b.join(p_counts.withColumnRenamed("c", "pc"), "bucket", "left")
+        .join(q_counts.withColumnRenamed("c", "qc"), "bucket", "left")
+    )
+    lr = F.log(
+        (F.coalesce(F.col("pc"), F.lit(0)) + F.lit(1)).cast("double")
+        / F.lit(float(p_tot + n_buckets))
+    ) - F.log(
+        (F.coalesce(F.col("qc"), F.lit(0)) + F.lit(1)).cast("double")
+        / F.lit(float(q_tot + n_buckets))
+    )
+    return joined.select(
+        "bucket",
+        F.floor(lr * _Q + F.lit(0.5)).cast("bigint").alias("lr_q"),
+    )
+
+
+def dsir_log_weights(raw: DataFrame, trusted: DataFrame,
+                     id_col: str = "doc_id", text_col: str = "text",
+                     n_buckets: int = _BUCKETS,
+                     salt: str = "dsir",
+                     trusted_text_col: str | None = None) -> DataFrame:
+    """Per-document quantized log importance weight.
+
+    Output: (id, n_grams, logw_x10000); higher = more trusted-like.
+    Documents with no grams (null/empty text) get n_grams = 0 and NULL
+    logw (unscorable — resampling ranks them last, filters decide).
+
+    Scale notes: two corpus passes build the (bucket, count) tables;
+    scoring explodes raw into (id, bucket) — text never leaves the
+    scan — joins the BROADCAST ratio table (≤ n_buckets rows), and
+    aggregates (id, bigint) partial sums: one slim shuffle.
+    """
+    spark = raw.sparkSession
+    # the two corpora routinely name their text column differently
+    # (e.g. a curated crawl's `extracted_text` vs a reference set's
+    # `text`) — trusted_text_col defaults to the raw side's name
+    p = hashed_bucket_counts(trusted, trusted_text_col or text_col,
+                             n_buckets, salt)
+    q = hashed_bucket_counts(raw, text_col, n_buckets, salt)
+    ratio = F.broadcast(_log_ratio_table(spark, p, q, n_buckets))
+    doc_buckets = raw.select(
+        F.col(id_col), F.explode(_grams(text_col)).alias("g")
+    ).select(
+        id_col,
+        (h60(F.concat(F.col("g"), F.lit(salt))) % n_buckets)
+        .alias("bucket"),
+    )
+    scored = (
+        doc_buckets.join(ratio, "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("lr_q").alias("logw_x10000"),
+        )
+    )
+    # one row per id even if the pool carries duplicate id rows (a
+    # crawl with revisits): grams from all copies pool into the one
+    # weight above, and the distinct here is an ids-only slim shuffle —
+    # without it a duplicated id could occupy two top-k slots downstream
+    return (
+        raw.select(id_col).distinct()
+        .join(scored, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_grams"), F.lit(0))
+            .cast("bigint")
+            .alias("n_grams"),
+            F.col("logw_x10000"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def gumbel_key(logw_col, id_col, salt: str = "gumbel"):
+    """Quantized Gumbel perturbation for top-k sampling ∝ exp(logw).
+
+    u = (h60(id‖salt) % 10000 + 0.5) / 10000 ∈ (0, 1) strictly, so
+    -ln(-ln(u)) is finite; quantized x10000 and ADDED to the quantized
+    log-weight — integer keys, fully deterministic, engine-exact.
+    """
+    u = (
+        (h60(F.concat(id_col.cast("string"), F.lit(salt))) % _Q)
+        .cast("double") + F.lit(0.5)
+    ) / F.lit(float(_Q))
+    g = -F.log(-F.log(u))
+    return logw_col + F.floor(g * _Q + F.lit(0.5)).cast("bigint")
+
+
+def dsir_resample(raw: DataFrame, trusted: DataFrame, k: int,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  n_buckets: int = _BUCKETS, salt: str = "dsir",
+                  gumbel_salt: str = "gumbel",
+                  trusted_text_col: str | None = None) -> DataFrame:
+    """Gumbel-top-k selection of ``k`` raw documents ∝ exp(logw).
+
+    Returns (id, logw_x10000, gumbel_key) for the picked set — a keys
+    table the caller semi-joins against the corpus (slim rows through
+    the top-k, text stays where it is). Unscorable documents (NULL
+    logw) are excluded — they carry no distributional evidence, and
+    the Gopher length gate already owns the too-short policy.
+
+    Scale notes: the ranking is a global TakeOrderedAndProject over
+    (id, two bigints) — no full sort, no text movement; ties broken by
+    id for cross-run stability.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    w = dsir_log_weights(raw, trusted, id_col, text_col, n_buckets, salt,
+                         trusted_text_col=trusted_text_col)
+    keyed = w.filter(F.col("logw_x10000").isNotNull()).select(
+        id_col,
+        "logw_x10000",
+        gumbel_key(F.col("logw_x10000"), F.col(id_col), gumbel_salt)
+        .alias("gumbel_key"),
+    )
+    return keyed.orderBy(
+        F.desc("gumbel_key"), F.asc(id_col)
+    ).limit(k)
