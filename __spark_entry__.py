@@ -2264,6 +2264,29 @@ _DSIR_WEIGHTS_ORACLE = f"""
         """
 
 
+_BM25_TERMS = ["vector", "hash", "scan"]
+
+
+def _q_bm25_scores(spark, sf_dir):
+    # r6 retrieval surface: BM25 over the whole corpus against a literal
+    # term query. Per-term tf/df are HOF columns (no explode, no
+    # shuffle); contributions quantize x10000 BEFORE the cross-term sum
+    # so the score is an integer; the oracle recomputes N/df/avgdl in
+    # SQL with the identical expression shape.
+    from gemini_ocr_batch_spark.operators.retrieval import bm25_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_scores(docs, _BM25_TERMS)
+
+
+def _bm25_oracle() -> str:
+    """The operator module owns the oracle generator (it must mirror the
+    Spark expression shape term-for-term); the terms are pinned here."""
+    from gemini_ocr_batch_spark.operators.retrieval import bm25_oracle_sql
+
+    return bm25_oracle_sql(_BM25_TERMS)
+
+
 def _q_domain_pagerank(spark, sf_dir):
     # r6 crawl-authority signal: weighted damped PageRank over a
     # deterministic 13-domain multigraph synthesized from doc_id residues
@@ -2815,6 +2838,10 @@ def local_parity() -> dict[str, tuple]:
         "dsir_weights": (
             _q_dsir_weights,
             _DSIR_WEIGHTS_ORACLE,
+        ),
+        "bm25_scores": (
+            _q_bm25_scores,
+            _bm25_oracle(),
         ),
         "stream_dedup_twin": (
             _q_stream_dedup_twin,

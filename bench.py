@@ -130,6 +130,7 @@ def main() -> int:
         "repeated_spans",
         "ngram_logprob",
         "dsir_weights",
+        "bm25_scores",
     ]
     # NOTE vs BENCH_r03: redact_pii + repetition_score are NEW lines (r4
     # webtext operators) — the headline total gained their cost; compare
@@ -138,8 +139,9 @@ def main() -> int:
     # (r5 training-pipeline operators, registered in local_parity()) —
     # same caveat.
     # NOTE vs BENCH_r05: blocklist_flags + repeated_spans + ngram_logprob
-    # + dsir_weights are NEW lines (r6 crawl-filter + substring-dedup +
-    # CCNet-LM + DSIR-selection operators) — same caveat.
+    # + dsir_weights + bm25_scores are NEW lines (r6 crawl-filter +
+    # substring-dedup + CCNet-LM + DSIR-selection + BM25-retrieval
+    # operators) — same caveat.
     qs = dict(qs)
     qs.update({k: fn for k, (fn, _sql) in entrymod.local_parity().items()})
     # Warm each query's plan once at sf0.001 (untimed): Janino codegen +

@@ -282,6 +282,23 @@ def main(argv: list[str] | None = None) -> int:
     sel_p.add_argument("--n-buckets", type=int, default=10_000)
     sel_p.add_argument("--master", default=None)
 
+    bm_p = sub.add_parser(
+        "bm25",
+        help="BM25 keyword retrieval: print the top-k corpus documents "
+             "for a literal term query (or write the full score table)",
+    )
+    bm_p.add_argument("--corpus", required=True,
+                      help="corpus parquet with (id, text) columns")
+    bm_p.add_argument("--terms", required=True,
+                      help="comma-separated query terms")
+    bm_p.add_argument("--k", type=int, default=10)
+    bm_p.add_argument("--id-col", default="doc_id")
+    bm_p.add_argument("--text-col", default="text")
+    bm_p.add_argument("--out", default=None,
+                      help="write the FULL per-document score table here "
+                           "instead of printing top-k hits")
+    bm_p.add_argument("--master", default=None)
+
     st_p = sub.add_parser("status", help="checkpoint + lineage summary")
     st_p.add_argument("--config", default=None,
                       help="same config as `run` — needed to point status "
@@ -771,6 +788,35 @@ def main(argv: list[str] | None = None) -> int:
         n = spark.read.parquet(args.out).count()
         print(json.dumps({"requested_k": args.k, "selected": n,
                           "out": args.out}))
+        return 0
+
+    if args.verb == "bm25":
+        from gemini_ocr_batch_spark.operators.retrieval import (
+            bm25_scores,
+            bm25_topk,
+        )
+
+        terms = [t for t in args.terms.split(",") if t.strip()]
+        spark = get_spark(master=args.master)
+        docs = spark.read.parquet(args.corpus)
+        if args.out is not None:
+            out = bm25_scores(docs, terms, id_col=args.id_col,
+                              text_col=args.text_col)
+            out.write.mode("overwrite").parquet(args.out)
+            n = spark.read.parquet(args.out).count()
+            print(json.dumps({"terms": terms, "rows": n, "out": args.out}))
+            return 0
+        hits = bm25_topk(docs, terms, k=args.k, id_col=args.id_col,
+                         text_col=args.text_col).collect()
+        print(json.dumps({
+            "terms": terms,
+            "hits": [
+                {"id": r[args.id_col], "rank": r["rank"],
+                 "n_terms_matched": r["n_terms_matched"],
+                 "score_x10000": r["score_x10000"]}
+                for r in hits
+            ],
+        }))
         return 0
 
     if args.verb == "wet":
