@@ -2264,6 +2264,81 @@ _DSIR_WEIGHTS_ORACLE = f"""
         """
 
 
+_SEMDEDUP_TAU = 0.3  # fixture embeddings are random 64-dim: max pair
+# cosine ≈ 0.48, and 0.3 leaves a ~200-pair dup graph at sf0.001 — a
+# populated, non-trivial component/election check at the local gate
+
+
+def _q_semdedup_keep(spark, sf_dir):
+    # r6 SemDeDup (Abbas et al. 2023): within-cell cosine pairs over the
+    # SAME fixed unit centroids as ann_ivf, connected components, then
+    # the per-component keep election (lowest quantized centroid-cosine
+    # = most atypical wins, the paper's diversity-preserving rule).
+    from gemini_ocr_batch_spark.operators.semdedup import semdedup_keep
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = semdedup_keep(emb, _IVF_CENTROIDS, tau=_SEMDEDUP_TAU)
+    return out.select(
+        F.col("id").alias("vec_id"),
+        "centroid_id",
+        "component",
+        "cent_cos_x10000",
+        "keep",
+    )
+
+
+def _semdedup_keep_oracle_sql() -> str:
+    """DuckDB twin of semdedup_keep: the shared fixed-centroid IVF
+    assignment CTEs, within-cell pairs at tau, recursive-CTE union-find
+    (the near_dedup_components construction), and the same quantized
+    centroid-cosine election."""
+    cents = ",\n                     ".join(
+        f"({i}, {_vec_sql_literal(c)})"
+        for i, c in enumerate(_IVF_CENTROIDS)
+    )
+    return f"""
+            WITH RECURSIVE {_ivf_index_ctes()},
+            pairs AS (
+              SELECT a.vec_id AS da, b.vec_id AS db
+              FROM idx a JOIN idx b
+                ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+              WHERE list_cosine_similarity(a.v, b.v) >= {_SEMDEDUP_TAU!r}
+            ),
+            edges AS (
+              SELECT da AS src, db AS dst FROM pairs
+              UNION
+              SELECT db AS src, da AS dst FROM pairs
+            ),
+            verts AS (SELECT DISTINCT src AS doc FROM edges),
+            reach(src, dst) AS (
+              SELECT doc, doc FROM verts
+              UNION
+              SELECT e.src, r.dst
+              FROM edges e JOIN reach r ON r.src = e.dst
+            ),
+            comp AS (
+              SELECT src AS doc, min(dst) AS component
+              FROM reach GROUP BY src
+            ),
+            cents(cid, cv) AS (
+              VALUES {cents}
+            ),
+            scored AS (
+              SELECT i.vec_id, i.centroid_id, c.component,
+                     CAST(floor(list_cosine_similarity(i.v, ct.cv)
+                                * 10000 + 0.5) AS BIGINT)
+                       AS cent_cos_x10000
+              FROM idx i
+              JOIN comp c ON c.doc = i.vec_id
+              JOIN cents ct ON ct.cid = i.centroid_id
+            )
+            SELECT vec_id, centroid_id, component, cent_cos_x10000,
+                   (row_number() OVER (PARTITION BY component
+                      ORDER BY cent_cos_x10000, vec_id)) = 1 AS keep
+            FROM scored ORDER BY vec_id
+        """
+
+
 _BM25_TERMS = ["vector", "hash", "scan"]
 
 
@@ -2842,6 +2917,10 @@ def local_parity() -> dict[str, tuple]:
         "bm25_scores": (
             _q_bm25_scores,
             _bm25_oracle(),
+        ),
+        "semdedup_keep": (
+            _q_semdedup_keep,
+            _semdedup_keep_oracle_sql(),
         ),
         "stream_dedup_twin": (
             _q_stream_dedup_twin,
