@@ -2201,6 +2201,44 @@ _NGRAM_LOGPROB_ORACLE = f"""
         """
 
 
+_LM_BUCKET_CUTS = (-33920, -34160)  # ≈ terciles of the sf0.001 score
+# distribution (span −36172..−32805) — all three buckets populated at
+# the local gate, and FROZEN literals: the bucket assignment is a
+# scan-side CASE both engines (CCNet freezes its cuts from a scored
+# sample the same way; score_cut_points is the sampling helper)
+
+
+def _q_lm_buckets(spark, sf_dir):
+    # r6 CCNet corpus structuring: the ngram_logprob pipeline, then
+    # head/middle/tail assignment at frozen literal cuts.
+    from gemini_ocr_batch_spark.operators.lm import (
+        ngram_logprob,
+        perplexity_buckets,
+        train_ngram_lm,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    uni, big = train_ngram_lm(docs, min_count=2)
+    scores = ngram_logprob(docs, uni, big)
+    return perplexity_buckets(
+        scores, *_LM_BUCKET_CUTS
+    ).select("doc_id", "avg_lp_x10000", "lm_bucket").orderBy("doc_id")
+
+
+def _lm_buckets_oracle_sql() -> str:
+    head, middle = _LM_BUCKET_CUTS
+    return f"""
+            WITH scores AS ({_NGRAM_LOGPROB_ORACLE}
+            )
+            SELECT doc_id, avg_lp_x10000,
+                   CASE WHEN avg_lp_x10000 IS NULL THEN 'unscored'
+                        WHEN avg_lp_x10000 >= {head} THEN 'head'
+                        WHEN avg_lp_x10000 >= {middle} THEN 'middle'
+                        ELSE 'tail' END AS lm_bucket
+            FROM scores ORDER BY doc_id
+        """
+
+
 def _q_dsir_weights(spark, sf_dir):
     # r6 DSIR selection signal (Xie et al. 2023): hashed uni+bigram
     # importance weights of every document against a trusted target
@@ -2913,6 +2951,10 @@ def local_parity() -> dict[str, tuple]:
         "dsir_weights": (
             _q_dsir_weights,
             _DSIR_WEIGHTS_ORACLE,
+        ),
+        "lm_buckets": (
+            _q_lm_buckets,
+            _lm_buckets_oracle_sql(),
         ),
         "bm25_scores": (
             _q_bm25_scores,

@@ -257,6 +257,11 @@ def main(argv: list[str] | None = None) -> int:
     ls_p.add_argument("--floor", type=int, default=None,
                       help="min avg_lp_x10000 — documents below are "
                            "dropped (unscorable short docs are kept)")
+    ls_p.add_argument("--cuts", default=None,
+                      help="HEAD_MIN,MIDDLE_MIN (x10000) — adds CCNet "
+                           "head/middle/tail lm_bucket assignment and "
+                           "per-bucket counts (use =-N,-M form: leading "
+                           "minus parses as a flag otherwise)")
     ls_p.add_argument("--master", default=None)
 
     sel_p = sub.add_parser(
@@ -751,6 +756,13 @@ def main(argv: list[str] | None = None) -> int:
     if args.verb == "lm-score":
         from gemini_ocr_batch_spark.operators.lm import run_lm_score_job
 
+        cuts = None
+        if args.cuts is not None:
+            parts = args.cuts.split(",")
+            if len(parts) != 2:
+                print("--cuts must be HEAD_MIN,MIDDLE_MIN", file=sys.stderr)
+                return 2
+            cuts = (int(parts[0]), int(parts[1]))
         spark = get_spark(master=args.master)
         res = run_lm_score_job(
             spark,
@@ -760,6 +772,7 @@ def main(argv: list[str] | None = None) -> int:
             id_col=args.id_col,
             text_col=args.text_col,
             min_avg_lp_x10000=args.floor,
+            bucket_cuts=cuts,
         )
         print(json.dumps(res))
         return 0

@@ -157,6 +157,59 @@ def perplexity_filter(docs: DataFrame, unigrams: DataFrame,
     return docs.join(keep, id_col, "semi")
 
 
+def score_cut_points(scores: DataFrame,
+                     fractions: tuple[float, ...] = (1 / 3, 2 / 3),
+                     score_col: str = "avg_lp_x10000",
+                     accuracy: int = 10_000) -> list[int]:
+    """Percentile cut points over the score distribution (CCNet derives
+    its head/middle/tail cuts from a scored sample exactly like this).
+
+    One ``percentile_approx`` pass collecting ``len(fractions)`` ints —
+    the approximate-quantile sketch is the 100 TB path (an exact
+    quantile needs a global sort); freeze the returned cuts and feed
+    them to :func:`perplexity_buckets` as literals so the bucket
+    assignment itself is exact, reproducible, and engine-checkable.
+    NULL (unscorable) rows are excluded from the distribution.
+    """
+    row = (
+        scores.filter(F.col(score_col).isNotNull())
+        .agg(F.percentile_approx(score_col, list(fractions), accuracy))
+        .collect()[0][0]
+    )
+    if row is None:
+        raise ValueError("no scored rows to derive cut points from")
+    return [int(v) for v in row]
+
+
+def perplexity_buckets(scores: DataFrame, head_min_x10000: int,
+                       middle_min_x10000: int,
+                       score_col: str = "avg_lp_x10000") -> DataFrame:
+    """CCNet's head/middle/tail corpus structuring from FROZEN literal
+    cuts: ``head`` at score ≥ head_min (most model-like / lowest
+    perplexity), ``middle`` at ≥ middle_min, else ``tail``; NULL scores
+    (no bigrams) become ``unscored`` — real booleans downstream, never
+    NULL CASE fallthrough.
+
+    A literal CASE in the scan projection — zero shuffle, zero join,
+    content-stable across reruns/reshards (the stratified_sample
+    posture). Downstream mixes then sample per bucket (CCNet trains on
+    head+middle; tail is kept for ablations, not deleted).
+    """
+    if head_min_x10000 < middle_min_x10000:
+        raise ValueError(
+            f"head cut {head_min_x10000} must be >= middle cut "
+            f"{middle_min_x10000} (scores: higher = more model-like)"
+        )
+    s = F.col(score_col)
+    return scores.withColumn(
+        "lm_bucket",
+        F.when(s.isNull(), F.lit("unscored"))
+        .when(s >= F.lit(int(head_min_x10000)), F.lit("head"))
+        .when(s >= F.lit(int(middle_min_x10000)), F.lit("middle"))
+        .otherwise(F.lit("tail")),
+    )
+
+
 # ---------------------------------------------------------------------------
 # persisted-model job forms (the part a production curation pass runs:
 # train once on a trusted corpus, score every crawl snapshot against it)
@@ -209,24 +262,44 @@ def run_lm_train_job(spark: SparkSession, corpus_path: str, out_dir: str,
 def run_lm_score_job(spark: SparkSession, corpus_path: str, model_dir: str,
                      out_path: str | None = None,
                      id_col: str = "doc_id", text_col: str = "text",
-                     min_avg_lp_x10000: int | None = None) -> dict:
+                     min_avg_lp_x10000: int | None = None,
+                     bucket_cuts: tuple[int, int] | None = None) -> dict:
     """Score a corpus against a persisted model; optionally write either
-    the score table (no floor) or the filtered corpus (with floor)."""
+    the score table (no floor), the filtered corpus (with floor), or —
+    with ``bucket_cuts`` = (head_min, middle_min) — the score table
+    plus CCNet head/middle/tail assignment and its per-bucket counts."""
+    if min_avg_lp_x10000 is not None and bucket_cuts is not None:
+        raise ValueError("floor and bucket_cuts are mutually exclusive "
+                         "(a floor IS a two-bucket cut)")
     docs = spark.read.parquet(corpus_path)
     uni, big, meta = lm_read_model(spark, model_dir)
+    buckets = None
     if min_avg_lp_x10000 is None:
         out = ngram_logprob(docs, uni, big, id_col=id_col,
                             text_col=text_col,
                             vocab_size=meta["vocab_size"])
+        if bucket_cuts is not None:
+            out = perplexity_buckets(out, bucket_cuts[0], bucket_cuts[1])
     else:
         out = perplexity_filter(docs, uni, big, min_avg_lp_x10000,
                                 id_col=id_col, text_col=text_col,
                                 vocab_size=meta["vocab_size"])
     if out_path is not None:
         out.write.mode("overwrite").parquet(out_path)
-        n = spark.read.parquet(out_path).count()
-    else:
-        n = out.count()
-    return {"rows": n, "vocab_size": meta["vocab_size"],
-            "filtered": min_avg_lp_x10000 is not None,
-            "out": out_path}
+        out = spark.read.parquet(out_path)
+    elif bucket_cuts is not None:
+        out = out.persist()  # count + bucket histogram, one compute
+    n = out.count()
+    if bucket_cuts is not None:
+        buckets = {
+            r["lm_bucket"]: r["n"]
+            for r in out.groupBy("lm_bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+    res = {"rows": n, "vocab_size": meta["vocab_size"],
+           "filtered": min_avg_lp_x10000 is not None,
+           "out": out_path}
+    if buckets is not None:
+        res["buckets"] = buckets
+    return res

@@ -144,6 +144,66 @@ def test_lm_cli_verbs(spark, tmp_path, corpus):
     }
 
 
+def test_bucket_cuts_and_assignment(spark, corpus):
+    from gemini_ocr_batch_spark.operators.lm import (
+        perplexity_buckets,
+        score_cut_points,
+    )
+
+    uni, big = train_ngram_lm(corpus, min_count=2)
+    scores = ngram_logprob(corpus, uni, big)
+    c1, c2 = sorted(score_cut_points(scores, (1 / 3, 2 / 3)))
+    assert c1 <= c2  # cuts come back in distribution order
+    out = {r["doc_id"]: r["lm_bucket"]
+           for r in perplexity_buckets(scores, c2, c1).collect()}
+    assert out[60] == "tail"  # gibberish = least model-like
+    assert out[61] == "unscored" and out[62] == "unscored"
+    vals = {r["doc_id"]: r["avg_lp_x10000"] for r in scores.collect()}
+    for i, b in out.items():
+        if b == "head":
+            assert vals[i] >= c2
+        elif b == "middle":
+            assert c1 <= vals[i] < c2
+        elif b == "tail":
+            assert vals[i] < c1
+    with pytest.raises(ValueError):
+        perplexity_buckets(scores, c1 - 1, c1)  # head below middle
+
+
+def test_lm_score_cli_cuts(spark, tmp_path, corpus):
+    import json
+
+    from gemini_ocr_batch_spark.__main__ import main
+
+    corpus_path = str(tmp_path / "corpus")
+    corpus.write.parquet(corpus_path)
+    model_dir = str(tmp_path / "model")
+    assert main(["lm-train", "--corpus", corpus_path,
+                 "--out", model_dir, "--min-count", "2"]) == 0
+    uni, big = train_ngram_lm(corpus, min_count=2)
+    vals = {r["doc_id"]: r["avg_lp_x10000"]
+            for r in ngram_logprob(corpus, uni, big).collect()}
+    head = vals[0]  # template docs land in head
+    middle = vals[60]  # gibberish lands in middle at exactly its score
+    import pytest as _pytest
+
+    # malformed cuts (one value) → usage error, not a traceback
+    assert main(["lm-score", "--corpus", corpus_path, "--model", model_dir,
+                 f"--cuts={head}"]) == 2
+    assert main(["lm-score", "--corpus", corpus_path, "--model", model_dir,
+                 f"--cuts={head},{middle}",
+                 "--out", str(tmp_path / "bucketed")]) == 0
+    out = spark.read.parquet(str(tmp_path / "bucketed"))
+    got = {r["doc_id"]: r["lm_bucket"] for r in out.collect()}
+    assert got[0] == "head" and got[60] == "middle"
+    assert got[61] == "unscored" and got[62] == "unscored"
+    # floor + cuts refused
+    from gemini_ocr_batch_spark.operators.lm import run_lm_score_job
+    with _pytest.raises(ValueError):
+        run_lm_score_job(spark, corpus_path, model_dir,
+                         min_avg_lp_x10000=0, bucket_cuts=(0, -1))
+
+
 def test_scoring_plan_broadcasts_model_and_prunes_text(spark, tmp_path):
     corpus = spark.range(0, 500).select(
         F.col("id").alias("doc_id"),
