@@ -2126,7 +2126,7 @@ _PACK_SEQUENCES_ORACLE = """
             o AS (
               SELECT doc_id, shard, order_key, n,
                      CAST(coalesce(sum(n) OVER (
-                       PARTITION BY shard ORDER BY order_key
+                       PARTITION BY shard ORDER BY order_key, n
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
                      ), 0) AS BIGINT) AS tok_offset
               FROM a

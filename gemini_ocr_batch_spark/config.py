@@ -61,6 +61,11 @@ class CrawlWindow:
 @dataclass(frozen=True)
 class FiltersConfig:
     langs: list[str] | None = None
+    # Unknown (NULL) language passes the membership filter by default:
+    # crawl-native sources (WARC) carry no language tag, so a strict isin
+    # would silently drop every page. Set false for strict filtering on
+    # inputs whose lang column is populated.
+    keep_unknown_lang: bool = True
     crawl_window: CrawlWindow | None = None
     # URL/domain blocklist (r6): path to a domains file (one registrable
     # domain per line, '#' comments) + literal url regex rules

@@ -439,7 +439,13 @@ def apply_input_filters(pages: DataFrame, filters) -> DataFrame:
         return pages
     out = pages
     if getattr(filters, "langs", None):
-        out = out.filter(F.col("lang").isin(list(filters.langs)))
+        member = F.col("lang").isin(list(filters.langs))
+        if getattr(filters, "keep_unknown_lang", True):
+            # WARC-sourced pages have lang=NULL (no tag in the capture);
+            # NULL never satisfies isin(), so strict membership would
+            # silently extract nothing from a crawl segment.
+            member = member | F.col("lang").isNull()
+        out = out.filter(member)
     window = getattr(filters, "crawl_window", None)
     if window is not None:
         out = out.filter(

@@ -130,10 +130,16 @@ def build_response_record(
 
 
 def build_conversion_record(
-    url: str, ts: dt.datetime, text: str
+    url: str, ts: dt.datetime | None, text: str
 ) -> bytes:
-    """A WET ``conversion`` record: payload is extracted UTF-8 text."""
-    date = format_warc_date(ts)
+    """A WET ``conversion`` record: payload is extracted UTF-8 text.
+
+    ``ts=None`` (a page row with no capture timestamp — the parquet input
+    path allows NULL warc_ts) falls back to the Unix epoch rather than
+    dropping the record or failing the task: WARC-Date is mandatory, and
+    the epoch placeholder keeps the write deterministic.
+    """
+    date = format_warc_date(ts) if ts is not None else "1970-01-01T00:00:00Z"
     body = text.encode("utf-8")
     return build_record(
         "conversion",
@@ -212,6 +218,24 @@ def _header(fields: list[tuple[str, str]], name: str) -> str | None:
     return None
 
 
+def _find_terminator(buf: bytes, start: int = 0) -> tuple[int, int]:
+    """Earliest blank-line header terminator: ``(index, sep_len)`` or ``(-1, 0)``.
+
+    Both CRLF and bare-LF header blocks occur in real captures. Choosing by
+    separator *type* (try ``\\r\\n\\r\\n`` everywhere before ``\\n\\n``)
+    mis-splits an LF header block whose *body* contains CRLF bytes — e.g. an
+    LF-headered WARC record wrapping a standard CRLF HTTP message — so the
+    split must go to whichever terminator occurs first in the buffer.
+    """
+    crlf = buf.find(b"\r\n\r\n", start)
+    lf = buf.find(b"\n\n", start)
+    if crlf >= 0 and (lf < 0 or crlf < lf):
+        return crlf, 4
+    if lf >= 0:
+        return lf, 2
+    return -1, 0
+
+
 def split_http_payload(
     payload: bytes,
 ) -> tuple[int | None, str | None, bytes]:
@@ -220,11 +244,9 @@ def split_http_payload(
     Tolerant: if no HTTP header terminator is found the whole payload is
     returned as the body with null status (some captures are truncated).
     """
-    for sep in (b"\r\n\r\n", b"\n\n"):
-        idx = payload.find(sep)
-        if idx >= 0:
-            head, body = payload[:idx], payload[idx + len(sep):]
-            break
+    idx, sep_len = _find_terminator(payload)
+    if idx >= 0:
+        head, body = payload[:idx], payload[idx + sep_len:]
     else:
         return None, None, payload
     lines = head.replace(b"\r\n", b"\n").split(b"\n")
@@ -310,11 +332,9 @@ def _parse_one(
             error=f"no WARC magic at offset {pos}; skipped {end - pos} bytes",
         )
         return rec, end
-    for sep in (b"\r\n\r\n", b"\n\n"):
-        hdr_end = buf.find(sep, pos)
-        if hdr_end >= 0:
-            body_start = hdr_end + len(sep)
-            break
+    hdr_end, sep_len = _find_terminator(buf, pos)
+    if hdr_end >= 0:
+        body_start = hdr_end + sep_len
     else:
         return (
             WarcRecord(

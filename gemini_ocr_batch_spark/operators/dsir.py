@@ -71,6 +71,12 @@ def _log_ratio_table(spark: SparkSession, p_counts: DataFrame,
     """Per-bucket quantized log importance ratio, densified over all
     buckets (a gram can hash into a bucket unseen in either corpus —
     both Laplace floors apply there, a nonzero constant)."""
+    # Materialize the model-sized (≤ n_buckets rows) count tables once:
+    # each is consumed twice (the total below + the densify join), and
+    # without the checkpoint both corpus-wide explode+groupBy passes
+    # would re-run when the output materializes.
+    p_counts = p_counts.localCheckpoint(eager=True)
+    q_counts = q_counts.localCheckpoint(eager=True)
     # scalar audit aggregates over model-sized tables (≤ n_buckets rows)
     p_tot = p_counts.agg(F.sum("c")).collect()[0][0] or 0
     q_tot = q_counts.agg(F.sum("c")).collect()[0][0] or 0

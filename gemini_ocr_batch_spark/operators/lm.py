@@ -96,8 +96,14 @@ def ngram_logprob(docs: DataFrame, unigrams: DataFrame, bigrams: DataFrame,
     ``vocab_size`` skips the model-table count when the caller already
     knows |V| (the persisted-model job reads it from the meta sidecar).
     """
-    # scalar audit aggregate, model-table sized
-    v = unigrams.count() if vocab_size is None else vocab_size
+    # scalar audit aggregate, model-table sized; checkpoint first so the
+    # |V| count and the broadcast build below share one materialization
+    # of the training aggregation instead of running it twice
+    if vocab_size is None:
+        unigrams = unigrams.localCheckpoint(eager=True)
+        v = unigrams.count()
+    else:
+        v = vocab_size
     grams = docs.select(
         F.col(id_col), F.explode(shingles(tokens(text_col), 2)).alias("g")
     ).withColumn("w1", F.substring_index("g", " ", 1))

@@ -114,8 +114,12 @@ def bm25_scores(docs: DataFrame, terms: list[str],
     # exact-int double division — bit-identical to the oracle's
     # CAST(tot AS DOUBLE)/n (IEEE-754 division of the same values)
     avgdl = tot / n
+    # tokenize the coalesced text so NULL-text rows get a real empty
+    # token array: tf/dl/matched all become 0 (matching the oracle's
+    # CASE ... ELSE 0), not NULL propagated through the sums
     base = docs.select(
-        F.col(id_col), tokens(text_col).alias("__toks")
+        F.col(id_col),
+        tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("__toks"),
     ).withColumn("__dl", F.size("__toks"))
     matched = F.lit(0).cast("bigint")
     score = F.lit(0).cast("bigint")

@@ -291,9 +291,15 @@ def pack_sequences(df: DataFrame, key_col: str, token_col: str,
         df.select(F.col(key_col), n_tok.alias("__n")), key_col, n_shards,
         salt=salt,
     )
+    # Secondary sort on __n: duplicate keys (a pool with unresolved
+    # revisits) share an order_key, and with different token counts an
+    # order_key-only sort would let the engine place them arbitrarily —
+    # offsets could swap between runs. With (__n) as tie-break the only
+    # remaining ties are fully identical rows, which are interchangeable
+    # (swapping them yields the identical result set).
     w = (
         Window.partitionBy("shard")
-        .orderBy("order_key")
+        .orderBy("order_key", "__n")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offset = F.coalesce(F.sum("__n").over(w), F.lit(0))

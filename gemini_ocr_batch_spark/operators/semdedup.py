@@ -49,6 +49,27 @@ def _index(embeddings: DataFrame, centroids: list[list[float]],
                       vec_col=vec_col)
 
 
+def _cell_pairs(idx: DataFrame, tau: float) -> DataFrame:
+    """The one within-cluster candidate scan both public forms share:
+    self-join on ``centroid_id``, ``doc_a < doc_b``, cosine ≥ tau.
+    Returns (doc_a, doc_b, centroid_id, cosine) — callers project/
+    quantize; keeping the pair semantics in one place means the pair
+    listing and the keep election can never silently disagree about
+    which pairs are duplicates."""
+    a, b = idx.alias("a"), idx.alias("b")
+    return (
+        a.join(b, "centroid_id")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("doc_a"),
+            F.col("b.id").alias("doc_b"),
+            F.col("centroid_id"),
+            cosine_col(F.col("a.v"), F.col("b.v")),
+        )
+        .filter(F.col("cosine") >= tau)
+    )
+
+
 def semdedup_pairs(embeddings: DataFrame, centroids: list[list[float]],
                    tau: float = 0.9, id_col: str = "vec_id",
                    vec_col: str = "embedding") -> DataFrame:
@@ -61,17 +82,8 @@ def semdedup_pairs(embeddings: DataFrame, centroids: list[list[float]],
     sized sensibly); raise ``tau`` rather than k to tighten.
     """
     idx = _index(embeddings, centroids, id_col, vec_col)
-    a, b = idx.alias("a"), idx.alias("b")
     return (
-        a.join(b, "centroid_id")
-        .filter(F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("doc_a"),
-            F.col("b.id").alias("doc_b"),
-            F.col("centroid_id"),
-            cosine_col(F.col("a.v"), F.col("b.v")),
-        )
-        .filter(F.col("cosine") >= tau)
+        _cell_pairs(idx, tau)
         .select(
             "doc_a",
             "doc_b",
@@ -86,18 +98,7 @@ def semdedup_pairs(embeddings: DataFrame, centroids: list[list[float]],
 
 def _keep_from_index(idx: DataFrame, centroids: list[list[float]],
                      tau: float) -> DataFrame:
-    a, b = idx.alias("a"), idx.alias("b")
-    pairs = (
-        a.join(b, "centroid_id")
-        .filter(F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("doc_a"),
-            F.col("b.id").alias("doc_b"),
-            cosine_col(F.col("a.v"), F.col("b.v")),
-        )
-        .filter(F.col("cosine") >= tau)
-        .select("doc_a", "doc_b")
-    )
+    pairs = _cell_pairs(idx, tau).select("doc_a", "doc_b")
     comp = connected_components(pairs)
     cent_arr = F.array(*[
         F.array(*[F.lit(float(c)) for c in cent]) for cent in centroids

@@ -344,8 +344,13 @@ def snapshot_delta(old: DataFrame, new: DataFrame, key_col: str = "url",
     ``md5(coalesce(text, ''))`` reductions with an identical CASE chain.
     """
     def slim(df: DataFrame, out: str) -> DataFrame:
+        # NULL digests (a precomputed digest_col can carry them, e.g.
+        # checkpoint error rows) coalesce to '' — the outer join uses
+        # digest nullity as the EXISTENCE test, so an un-coalesced NULL
+        # would misclassify a present key as added/removed. The md5 path
+        # coalesces its input and can never be NULL.
         d = (
-            F.col(digest_col)
+            F.coalesce(F.col(digest_col), F.lit(""))
             if digest_col
             else F.md5(F.coalesce(F.col(text_col), F.lit("")))
         )

@@ -189,7 +189,9 @@ def write_wet(
             ):
                 recs.append(
                     wk.build_conversion_record(
-                        str(url), ts.to_pydatetime(), str(text)
+                        str(url),
+                        None if pd.isna(ts) else ts.to_pydatetime(),
+                        str(text),
                     )
                 )
         if not recs:  # empty partition → no file, no stats row

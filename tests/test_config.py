@@ -280,3 +280,24 @@ def test_example_pipeline_config_stays_valid():
     assert cfg.filters.url_patterns == ["/casino/", "\\.xxx/"]
     assert cfg.curation.normalize_nfkc and cfg.curation.gopher_rules
     assert cfg.decontam.ngram == 8
+
+
+def test_lang_filter_keeps_unknown_lang_by_default(spark):
+    # review regression: WARC-sourced pages carry lang=NULL; a strict
+    # isin() silently extracted nothing from a crawl segment.
+    from gemini_ocr_batch_spark.config import FiltersConfig
+    from gemini_ocr_batch_spark.job import apply_input_filters
+    from gemini_ocr_batch_spark.schemas import PAGES_SCHEMA
+
+    rows = [
+        ("u1", dt.datetime(2024, 1, 15), b"x", None, "en"),
+        ("u2", dt.datetime(2024, 1, 16), b"x", None, "fr"),
+        ("u3", dt.datetime(2024, 1, 17), b"x", None, None),  # crawl-native
+    ]
+    pages = spark.createDataFrame(rows, PAGES_SCHEMA)
+    default = apply_input_filters(pages, FiltersConfig(langs=["en"]))
+    assert {r["url"] for r in default.collect()} == {"u1", "u3"}
+    strict = apply_input_filters(
+        pages, FiltersConfig(langs=["en"], keep_unknown_lang=False)
+    )
+    assert {r["url"] for r in strict.collect()} == {"u1"}

@@ -142,3 +142,20 @@ def test_plan_no_shuffle_no_text_in_exchanges(spark, tmp_path):
     topk_plan = bm25_topk(docs, ["spark", "shuffle"], k=5, stats=stats) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in topk_plan
+
+
+def test_bm25_null_text_scores_zero_not_null(spark):
+    # review regression: tokens(NULL) propagated NULL into the matched
+    # sum under ANSI mode, diverging from the oracle's CASE ... ELSE 0.
+    from gemini_ocr_batch_spark.operators.retrieval import bm25_scores
+
+    docs = spark.createDataFrame(
+        [(1, "spark shuffle join"), (2, None), (3, "")],
+        "doc_id bigint, text string",
+    )
+    rows = {r["doc_id"]: r for r in
+            bm25_scores(docs, ["spark"]).collect()}
+    assert rows[2]["n_terms_matched"] == 0
+    assert rows[2]["score_x10000"] == 0
+    assert rows[3]["n_terms_matched"] == 0
+    assert rows[1]["n_terms_matched"] == 1

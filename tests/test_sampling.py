@@ -229,3 +229,28 @@ def test_pack_sequences_single_slim_exchange(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
     assert "text" not in plan
+
+
+def test_pack_sequences_duplicate_keys_deterministic(spark):
+    # review regression: duplicate keys share an order_key; without the
+    # __n secondary sort the running-sum offsets between the copies were
+    # partition-layout-dependent.
+    from gemini_ocr_batch_spark.operators.sampling import pack_sequences
+
+    df = spark.createDataFrame(
+        [("k", 9), ("k", 5), ("x", 3)], ["doc_id", "n"]
+    )
+    def run(parts):
+        plan = pack_sequences(
+            df.repartition(parts), "doc_id", "n", seq_len=4, n_shards=1
+        )
+        return sorted(
+            (r["doc_id"], r["n_tokens"], r["tok_offset"])
+            for r in plan.collect()
+        )
+    one, eight = run(1), run(8)
+    assert one == eight
+    # within the dup pair, the smaller-n copy packs first
+    k_rows = [r for r in one if r[0] == "k"]
+    assert k_rows[0][1] == 5 and k_rows[1][1] == 9
+    assert k_rows[1][2] == k_rows[0][2] + 5

@@ -241,3 +241,55 @@ def test_write_wet_roundtrip_and_determinism(spark, warc_dir, tmp_path):
         with open(f1, "rb") as a, open(f2, "rb") as b:
             assert a.read() == b.read()
     extracted.unpersist()
+
+
+def test_lf_record_with_crlf_http_payload_parses():
+    # review regression: the header terminator must be the EARLIEST
+    # blank line, not the first separator TYPE found — an LF-headered
+    # record wrapping a standard CRLF HTTP message used to swallow the
+    # HTTP headers into the WARC block and error on Content-Length.
+    http = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<html>x</html>"
+    )
+    hdr = (
+        b"WARC/1.0\n"
+        b"WARC-Type: response\n"
+        b"WARC-Target-URI: https://ex.org/lf\n"
+        b"WARC-Date: 2024-01-01T00:00:00Z\n"
+        b"Content-Type: application/http; msgtype=response\n"
+        + b"Content-Length: %d\n\n" % len(http)
+    )
+    recs = W.parse_warc(hdr + http + b"\r\n\r\n")
+    assert [r.error for r in recs] == [None]
+    assert recs[0].url == "https://ex.org/lf"
+    status, _ctype, body = W.split_http_payload(recs[0].payload)
+    assert status == 200 and body == b"<html>x</html>"
+
+
+def test_lf_http_headers_with_crlf_in_body_not_truncated():
+    payload = (
+        b"HTTP/1.1 200 OK\nContent-Type: text/plain\n\n"
+        b"line1\r\n\r\nline2"
+    )
+    status, ctype, body = W.split_http_payload(payload)
+    assert (status, ctype) == (200, "text/plain")
+    assert body == b"line1\r\n\r\nline2"
+
+
+def test_conversion_record_null_ts_falls_back_to_epoch():
+    rec = W.build_conversion_record("https://ex.org/x", None, "txt")
+    assert b"WARC-Date: 1970-01-01T00:00:00Z" in rec
+    # deterministic: the fallback feeds the content-addressed record id
+    assert rec == W.build_conversion_record("https://ex.org/x", None, "txt")
+
+
+def test_write_wet_tolerates_null_ts(spark, tmp_path):
+    from gemini_ocr_batch_spark.sources.warc import write_wet
+
+    df = spark.createDataFrame(
+        [("https://ex.org/a", None, "text a"),
+         ("https://ex.org/b", dt.datetime(2024, 1, 1), "text b")],
+        "url string, warc_ts timestamp, extracted_text string",
+    )
+    stats = write_wet(df, str(tmp_path / "wet"), n_files=1).collect()
+    assert sum(r["n_records"] for r in stats) == 2

@@ -650,3 +650,21 @@ def test_snapshot_delta_precomputed_digest_and_slim_plan(spark, tmp_path):
         if "ReadSchema" in line:
             assert "text" not in line, line
     assert "ReadSchema" in plan
+
+
+def test_snapshot_delta_null_precomputed_digest_is_presence(spark):
+    # review regression: the outer join uses digest nullity as the
+    # existence test — a NULL digest in digest_col misclassified a
+    # present key as added/removed.
+    from gemini_ocr_batch_spark.operators.webtext import snapshot_delta
+
+    old = spark.createDataFrame(
+        [("a", None), ("b", None), ("c", "h1")], ["url", "dg"]
+    )
+    new = spark.createDataFrame(
+        [("a", None), ("b", "h2"), ("d", None)], ["url", "dg"]
+    )
+    got = {r["url"]: r["status"]
+           for r in snapshot_delta(old, new, digest_col="dg").collect()}
+    assert got == {"a": "unchanged", "b": "changed", "c": "removed",
+                   "d": "added"}
