@@ -25,6 +25,11 @@ Verbs:
             (per-group token-count distribution of the extracted corpus)
   links     --pages <parquet> --out <dir>
             (crawl-graph pass: outlink edge table + domain-pair rollup)
+  pipeline  --config cfg.yaml
+            (the whole chain from one config: extract → curate →
+             decontaminate (if decontam.* set) → shard (if sharding.out
+             set); identical artifacts to the standalone verbs,
+             resumable via the extraction checkpoint)
 """
 
 from __future__ import annotations
@@ -32,6 +37,53 @@ from __future__ import annotations
 import argparse
 import json
 import sys
+
+
+def _shard_job(spark, in_path: str, out_dir: str, n_shards: int,
+               key_col: str, text_col: str) -> dict:
+    """Shared by the ``shard`` verb and the ``pipeline`` shard stage.
+
+    Raises ValueError (caller prints + exits 2) when the text column is
+    missing; ``text_col=''`` skips token counting entirely.
+    """
+    from pyspark.sql import functions as F
+
+    from gemini_ocr_batch_spark.functions.hashing import tokens
+    from gemini_ocr_batch_spark.operators.sampling import (
+        write_training_shards,
+    )
+
+    corpus = spark.read.parquet(in_path)
+    token_col = None
+    if text_col == "text" and "text" not in corpus.columns \
+            and "extracted_text" in corpus.columns:
+        # the run/curate verbs emit `extracted_text`; make the
+        # default work on their output without an extra flag
+        text_col = "extracted_text"
+    if text_col and text_col not in corpus.columns:
+        raise ValueError(
+            f"text column {text_col!r} not in input "
+            f"(columns: {', '.join(corpus.columns)}); pass "
+            f"--text-col or --text-col=''"
+        )
+    if text_col:
+        # pure column expr — rides the same scan, no extra pass
+        corpus = corpus.withColumn(
+            "doc_tokens",
+            F.size(tokens(text_col, lowercase=False)).cast("bigint"),
+        )
+        token_col = "doc_tokens"
+    stats = write_training_shards(
+        corpus, key_col, out_dir, n_shards=n_shards, token_col=token_col,
+    ).collect()
+    return {
+        "shards": len(stats),
+        "docs": sum(int(s.n_docs) for s in stats),
+        "tokens": (
+            sum(int(s.n_tokens) for s in stats) if token_col else None
+        ),
+        "path": out_dir,
+    }
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -303,6 +355,20 @@ def main(argv: list[str] | None = None) -> int:
                       help="write the FULL per-document score table here "
                            "instead of printing top-k hits")
     bm_p.add_argument("--master", default=None)
+
+    pl_p = sub.add_parser(
+        "pipeline",
+        help="run the full config-driven corpus pipeline: extract → "
+             "curate → decontaminate (if decontam.* configured) → shard "
+             "(if sharding.out configured) — identical artifacts to "
+             "running the standalone verbs in that order",
+    )
+    pl_p.add_argument("--config", required=True,
+                      help="the one YAML driving every stage (paths, "
+                           "filters, curation, decontam, sharding)")
+    pl_p.add_argument("--input-format", choices=["parquet", "warc"],
+                      default="parquet")
+    pl_p.add_argument("--master", default=None)
 
     st_p = sub.add_parser("status", help="checkpoint + lineage summary")
     st_p.add_argument("--config", default=None,
@@ -852,58 +918,136 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.verb == "shard":
-        from pyspark.sql import functions as F
-
-        from gemini_ocr_batch_spark.functions.hashing import tokens
-        from gemini_ocr_batch_spark.operators.sampling import (
-            write_training_shards,
-        )
-
         spark = get_spark(master=args.master)
-        corpus = spark.read.parquet(args.in_path)
-        token_col = None
-        text_col = args.text_col
-        if text_col == "text" and "text" not in corpus.columns \
-                and "extracted_text" in corpus.columns:
-            # the run/curate verbs emit `extracted_text`; make the
-            # default work on their output without an extra flag
-            text_col = "extracted_text"
-        if text_col and text_col not in corpus.columns:
+        try:
+            out = _shard_job(spark, args.in_path, args.out, args.shards,
+                             args.key_col, args.text_col)
+        except ValueError as exc:
+            print(f"shard: {exc}", file=sys.stderr)
+            return 2
+        print(json.dumps(out))
+        return 0
+
+    if args.verb == "pipeline":
+        # One config-driven command for the whole corpus-prep chain.
+        # Each stage consumes the previous stage's on-disk output via
+        # the SAME paths the standalone verbs use, so `pipeline` and a
+        # verb-by-verb run produce identical artifacts; the extraction
+        # checkpoint makes the chain resumable (a rerun extracts
+        # nothing and deterministically rewrites the downstream tables).
+        from gemini_ocr_batch_spark.config import (
+            ConfigError,
+            load_config,
+            load_dotenv,
+            resolve_config_path,
+        )
+        from gemini_ocr_batch_spark.job import (
+            apply_input_filters,
+            run_extraction_job,
+        )
+        from gemini_ocr_batch_spark.operators.webtext import run_curation_job
+
+        load_dotenv(".env")  # same resolution order as `run`
+        try:
+            cfg = load_config(resolve_config_path(args.config))
+        except ConfigError as exc:
+            print(str(exc), file=sys.stderr)
+            return 2
+        if not cfg.curation.curated_out:
             print(
-                f"shard: text column {text_col!r} not in input "
-                f"(columns: {', '.join(corpus.columns)}); pass "
-                f"--text-col or --text-col=''",
+                "pipeline: curation.curated_out required (the curate "
+                "stage's output directory)",
                 file=sys.stderr,
             )
             return 2
-        if text_col:
-            # pure column expr — rides the same scan, no extra pass
-            corpus = corpus.withColumn(
-                "doc_tokens",
-                F.size(tokens(text_col, lowercase=False)).cast("bigint"),
-            )
-            token_col = "doc_tokens"
-        stats = write_training_shards(
-            corpus,
-            args.key_col,
-            args.out,
-            n_shards=args.shards,
-            token_col=token_col,
-        ).collect()
-        print(
-            json.dumps(
-                {
-                    "shards": len(stats),
-                    "docs": sum(int(s.n_docs) for s in stats),
-                    "tokens": (
-                        sum(int(s.n_tokens) for s in stats)
-                        if token_col
-                        else None
-                    ),
-                    "path": args.out,
-                }
-            )
+        spark = get_spark(
+            master=args.master or cfg.spark.master,
+            shuffle_partitions=cfg.spark.shuffle_partitions,
         )
+        summary: dict = {}
+
+        if args.input_format == "warc":
+            from gemini_ocr_batch_spark.sources.warc import (
+                read_warc,
+                warc_to_pages,
+            )
+
+            pages = warc_to_pages(read_warc(spark, cfg.paths.pages))
+        else:
+            pages = spark.read.parquet(cfg.paths.pages)
+        pages = apply_input_filters(pages, cfg.filters)
+        store = None
+        if cfg.checkpoint.backend == "iceberg":
+            from gemini_ocr_batch_spark.checkpoint import (
+                IcebergCheckpointStore,
+            )
+
+            try:
+                store = IcebergCheckpointStore(
+                    spark, cfg.checkpoint.iceberg_table,
+                    max_retries=cfg.execution.max_retries,
+                )
+            except RuntimeError as exc:
+                print(
+                    f"checkpoint.backend: iceberg requested but {exc}",
+                    file=sys.stderr,
+                )
+                return 2
+        res = run_extraction_job(
+            spark,
+            pages,
+            cfg.paths.out,
+            max_retries=cfg.execution.max_retries,
+            n_partitions=cfg.execution.partitions,
+            track_inflight=cfg.execution.track_inflight,
+            n_buckets=cfg.checkpoint.n_buckets,
+            store=store,
+        )
+        summary["extract"] = {
+            "passes": res.passes,
+            "extracted_rows": res.extracted_rows,
+            "success_rows": res.success_rows,
+            "failed_rows": res.failed_rows,
+        }
+
+        summary["curate"] = run_curation_job(
+            spark,
+            cfg.paths.out,
+            cfg.curation.curated_out,
+            min_quality_x10000=cfg.curation.min_quality_x10000,
+            max_rep_x10000=cfg.curation.max_rep_x10000,
+            normalize_nfkc=cfg.curation.normalize_nfkc,
+            gopher_rules=cfg.curation.gopher_rules,
+        )
+
+        if cfg.decontam.benchmark_path and cfg.decontam.flags_out:
+            from gemini_ocr_batch_spark.operators.decontam import (
+                run_decontamination_job,
+            )
+
+            summary["decontaminate"] = run_decontamination_job(
+                spark,
+                cfg.paths.out,
+                cfg.decontam.benchmark_path,
+                cfg.decontam.flags_out,
+                n=cfg.decontam.ngram,
+                min_overlap=cfg.decontam.min_overlap,
+            )
+
+        if cfg.sharding.out:
+            try:
+                summary["shard"] = _shard_job(
+                    spark,
+                    cfg.curation.curated_out + "/corpus",
+                    cfg.sharding.out,
+                    cfg.sharding.n_shards,
+                    cfg.sharding.key_col,
+                    cfg.sharding.text_col,
+                )
+            except ValueError as exc:
+                print(f"pipeline: shard stage: {exc}", file=sys.stderr)
+                return 2
+        print(json.dumps(summary))
         return 0
 
     if args.verb == "status":

@@ -109,6 +109,18 @@ class CurationConfig:
 
 
 @dataclass(frozen=True)
+class ShardingConfig:
+    # the `pipeline` verb's final stage (operators/sampling
+    # write_training_shards); out=None skips the stage
+    n_shards: int = 16
+    out: str | None = None
+    key_col: str = "url"
+    # '' disables per-shard token counting; 'text' auto-falls back to
+    # extracted_text on run/curate output (same rule as the shard verb)
+    text_col: str = "text"
+
+
+@dataclass(frozen=True)
 class DecontamConfig:
     # webtext-scale eval-leakage sweep — operators/decontam defaults
     ngram: int = 8
@@ -126,6 +138,7 @@ class AppConfig:
     spark: SparkConfig = field(default_factory=SparkConfig)
     curation: CurationConfig = field(default_factory=CurationConfig)
     decontam: DecontamConfig = field(default_factory=DecontamConfig)
+    sharding: ShardingConfig = field(default_factory=ShardingConfig)
 
 
 # ---------------------------------------------------------------------------
@@ -289,7 +302,11 @@ def validate_config(raw: dict, source: str = "<in-memory>") -> AppConfig:
                 ctx.err(f"filters.url_patterns[{i}]",
                         f"invalid regex {pat!r}: {exc}")
                 url_patterns = None
-    filters = FiltersConfig(langs=langs, crawl_window=window,
+    filters = FiltersConfig(langs=langs,
+                            keep_unknown_lang=_opt_bool(
+                                f_sec, "filters", "keep_unknown_lang",
+                                True, ctx),
+                            crawl_window=window,
                             blocklist_path=blocklist_path,
                             url_patterns=url_patterns,
                             robots_path=robots_path)
@@ -369,6 +386,28 @@ def validate_config(raw: dict, source: str = "<in-memory>") -> AppConfig:
         flags_out=dec_strs["flags_out"],
     )
 
+    sh_sec = _section(raw, "sharding", ctx)
+    shard_out = sh_sec.get("out")
+    if shard_out is not None and (
+        not isinstance(shard_out, str) or not shard_out.strip()
+    ):
+        ctx.err("sharding.out", "must be a non-empty string")
+        shard_out = None
+    shard_key = sh_sec.get("key_col", "url")
+    if not isinstance(shard_key, str) or not shard_key:
+        ctx.err("sharding.key_col", "must be a non-empty string")
+        shard_key = "url"
+    shard_text = sh_sec.get("text_col", "text")
+    if not isinstance(shard_text, str):  # '' is valid: skips token stats
+        ctx.err("sharding.text_col", "must be a string ('' to skip tokens)")
+        shard_text = "text"
+    sharding = ShardingConfig(
+        n_shards=_opt_int(sh_sec, "sharding", "n_shards", 16, ctx, ge=1),
+        out=shard_out,
+        key_col=shard_key,
+        text_col=shard_text,
+    )
+
     if ctx.errors:
         raise ConfigError(
             f"Config validation failed for {source}:\n"
@@ -376,7 +415,7 @@ def validate_config(raw: dict, source: str = "<in-memory>") -> AppConfig:
         )
     return AppConfig(paths=paths, filters=filters, execution=execution,
                      checkpoint=checkpoint, spark=spark, curation=curation,
-                     decontam=decontam)
+                     decontam=decontam, sharding=sharding)
 
 
 def load_config(path: str) -> AppConfig:

@@ -278,8 +278,10 @@ def test_example_pipeline_config_stays_valid():
     assert cfg.filters.langs == ["en", "de"]
     assert cfg.filters.blocklist_path and cfg.filters.robots_path
     assert cfg.filters.url_patterns == ["/casino/", "\\.xxx/"]
+    assert cfg.filters.keep_unknown_lang is True
     assert cfg.curation.normalize_nfkc and cfg.curation.gopher_rules
     assert cfg.decontam.ngram == 8
+    assert cfg.sharding.n_shards == 64 and cfg.sharding.out
 
 
 def test_lang_filter_keeps_unknown_lang_by_default(spark):

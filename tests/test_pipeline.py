@@ -285,3 +285,64 @@ def test_datagen_writes_splittable_row_groups(tmp_path):
     path = str(tmp_path / "pages.parquet")
     write_pages_parquet(generate_rows(20000, seed=1), path)
     assert pq.ParquetFile(path).num_row_groups >= 2
+
+
+def test_pipeline_verb_end_to_end(spark, pages_parquet, tmp_path, capsys):
+    """The one-command product surface: pipeline --config runs extract →
+    curate → decontaminate → shard with artifacts identical to the
+    standalone verbs, and a rerun is a checkpointed no-op upstream."""
+    import json
+
+    import duckdb
+
+    from gemini_ocr_batch_spark.__main__ import main
+
+    bench = str(tmp_path / "bench.parquet")
+    duckdb.sql(
+        "COPY (SELECT 'doc ' || range AS text FROM range(5)) "
+        f"TO '{bench}' (FORMAT PARQUET)"
+    )
+    cfg = tmp_path / "cfg.yaml"
+    cfg.write_text(f"""
+paths:
+  pages: {pages_parquet}
+  out: {tmp_path / 'out'}
+curation:
+  curated_out: {tmp_path / 'curated'}
+decontam:
+  benchmark_path: {bench}
+  flags_out: {tmp_path / 'decontam'}
+sharding:
+  n_shards: 4
+  out: {tmp_path / 'shards'}
+""")
+    rc = main(["pipeline", "--config", str(cfg)])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert set(rep) == {"extract", "curate", "decontaminate", "shard"}
+    assert rep["extract"]["success_rows"] > 0
+    assert rep["curate"]["input_rows"] == rep["extract"]["success_rows"]
+    assert rep["shard"]["shards"] == 4
+    assert rep["shard"]["docs"] == rep["curate"]["kept"]
+    # every stage artifact is on disk where the standalone verbs put it
+    for sub in ("out/extracted_all", "curated/corpus", "decontam",
+                "shards/shard=0"):
+        assert (tmp_path / sub).exists(), sub
+    # rerun: checkpoint makes extraction a no-op; downstream identical
+    rc2 = main(["pipeline", "--config", str(cfg)])
+    assert rc2 == 0
+    rep2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep2["extract"]["passes"] == 0
+    assert rep2["extract"]["extracted_rows"] == 0
+    assert rep2["curate"] == rep["curate"]
+    assert rep2["shard"] == rep["shard"]
+
+
+def test_pipeline_verb_requires_curated_out(tmp_path, capsys):
+    from gemini_ocr_batch_spark.__main__ import main
+
+    cfg = tmp_path / "cfg.yaml"
+    cfg.write_text(f"paths:\n  pages: x\n  out: {tmp_path / 'o'}\n")
+    rc = main(["pipeline", "--config", str(cfg)])
+    assert rc == 2
+    assert "curated_out" in capsys.readouterr().err
