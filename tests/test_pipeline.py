@@ -346,3 +346,34 @@ def test_pipeline_verb_requires_curated_out(tmp_path, capsys):
     rc = main(["pipeline", "--config", str(cfg)])
     assert rc == 2
     assert "curated_out" in capsys.readouterr().err
+
+
+def test_pipeline_verb_warc_input(spark, pages_rows, tmp_path, capsys):
+    """The crawl-native product story in one command: WARC segments in,
+    training shards out — with a langs filter configured, which must NOT
+    drop the (lang-untagged) WARC pages by default."""
+    import json
+
+    from gemini_ocr_batch_spark.__main__ import main
+    from gemini_ocr_batch_spark.datagen import write_pages_warc
+
+    wdir = str(tmp_path / "warc")
+    write_pages_warc(pages_rows, wdir, files=2)
+    cfg = tmp_path / "cfg.yaml"
+    cfg.write_text(f"""
+paths:
+  pages: {wdir}
+  out: {tmp_path / 'out'}
+filters:
+  langs: [en, de]
+curation:
+  curated_out: {tmp_path / 'curated'}
+sharding:
+  n_shards: 2
+  out: {tmp_path / 'shards'}
+""")
+    rc = main(["pipeline", "--config", str(cfg), "--input-format", "warc"])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["extract"]["success_rows"] > 0
+    assert rep["shard"]["docs"] == rep["curate"]["kept"] > 0

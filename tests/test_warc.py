@@ -293,3 +293,17 @@ def test_write_wet_tolerates_null_ts(spark, tmp_path):
     )
     stats = write_wet(df, str(tmp_path / "wet"), n_files=1).collect()
     assert sum(r["n_records"] for r in stats) == 2
+
+
+def test_find_terminator_fuzz_vs_model():
+    """Property pin for the earliest-terminator rule: agree with a
+    direct min-index model over random CRLF/LF soup."""
+    rng = random.Random(99)
+    pieces = [b"\r\n", b"\n", b"\r", b"a", b"bb", b"\r\n\r\n", b"\n\n",
+              b"X-H: v", b""]
+    for _ in range(2000):
+        buf = b"".join(rng.choice(pieces) for _ in range(rng.randint(0, 12)))
+        crlf, lf = buf.find(b"\r\n\r\n"), buf.find(b"\n\n")
+        cands = [(i, n) for i, n in ((crlf, 4), (lf, 2)) if i >= 0]
+        want = min(cands) if cands else (-1, 0)
+        assert W._find_terminator(buf) == want, buf
