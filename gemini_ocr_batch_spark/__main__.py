@@ -61,10 +61,11 @@ def _shard_job(spark, in_path: str, out_dir: str, n_shards: int,
         # default work on their output without an extra flag
         text_col = "extracted_text"
     if text_col and text_col not in corpus.columns:
+        # remediation advice is caller-specific (--text-col flag vs
+        # sharding.text_col config) — each verb appends its own
         raise ValueError(
             f"text column {text_col!r} not in input "
-            f"(columns: {', '.join(corpus.columns)}); pass "
-            f"--text-col or --text-col=''"
+            f"(columns: {', '.join(corpus.columns)})"
         )
     if text_col:
         # pure column expr — rides the same scan, no extra pass
@@ -84,6 +85,48 @@ def _shard_job(spark, in_path: str, out_dir: str, n_shards: int,
         ),
         "path": out_dir,
     }
+
+
+def _extract_stage(spark, pages_path: str, out_dir: str, input_format: str,
+                   filters, checkpoint_cfg, max_retries: int,
+                   partitions: int | None, track_inflight: bool):
+    """Input → filters → checkpoint store → extraction job. Shared by the
+    ``run`` verb and the ``pipeline`` extract stage so the two paths
+    cannot drift. Propagates RuntimeError from the Iceberg store wiring
+    (caller prints the checkpoint.backend message and exits 2)."""
+    from gemini_ocr_batch_spark.job import (
+        apply_input_filters,
+        run_extraction_job,
+    )
+
+    if input_format == "warc":
+        from gemini_ocr_batch_spark.sources.warc import (
+            read_warc,
+            warc_to_pages,
+        )
+
+        pages = warc_to_pages(read_warc(spark, pages_path))
+    else:
+        pages = spark.read.parquet(pages_path)
+    if filters is not None:
+        pages = apply_input_filters(pages, filters)
+    store = None
+    if checkpoint_cfg is not None and checkpoint_cfg.backend == "iceberg":
+        from gemini_ocr_batch_spark.checkpoint import IcebergCheckpointStore
+
+        store = IcebergCheckpointStore(
+            spark, checkpoint_cfg.iceberg_table, max_retries=max_retries,
+        )
+    return run_extraction_job(
+        spark,
+        pages,
+        out_dir,
+        max_retries=max_retries,
+        n_partitions=partitions,
+        track_inflight=track_inflight,
+        n_buckets=checkpoint_cfg.n_buckets if checkpoint_cfg else 16,
+        store=store,
+    )
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -158,7 +201,10 @@ def main(argv: list[str] | None = None) -> int:
     dec_p.add_argument("--benchmark", default=None,
                        help="parquet of benchmark documents "
                             "(config decontam.benchmark_path)")
-    dec_p.add_argument("--benchmark-text-col", default="text")
+    dec_p.add_argument("--benchmark-text-col", default=None,
+                       help="text column in the benchmark parquet "
+                            "(config decontam.benchmark_text_col; "
+                            "default 'text')")
     dec_p.add_argument("--out", default=None,
                        help="defaults to config decontam.flags_out")
     dec_p.add_argument("--ngram", type=int, default=None,
@@ -405,10 +451,6 @@ def main(argv: list[str] | None = None) -> int:
             load_dotenv,
             resolve_config_path,
         )
-        from gemini_ocr_batch_spark.job import (
-            apply_input_filters,
-            run_extraction_job,
-        )
 
         load_dotenv(".env")  # setdefault semantics: env beats .env
         cfg = None
@@ -442,44 +484,24 @@ def main(argv: list[str] | None = None) -> int:
             master=args.master or (cfg.spark.master if cfg else None),
             shuffle_partitions=(cfg.spark.shuffle_partitions if cfg else None),
         )
-        if args.input_format == "warc":
-            from gemini_ocr_batch_spark.sources.warc import (
-                read_warc,
-                warc_to_pages,
+        try:
+            res = _extract_stage(
+                spark,
+                pages_path,
+                out_dir,
+                args.input_format,
+                cfg.filters if cfg else None,
+                cfg.checkpoint if cfg else None,
+                max_retries,
+                partitions,
+                cfg.execution.track_inflight if cfg else False,
             )
-
-            pages = warc_to_pages(read_warc(spark, pages_path))
-        else:
-            pages = spark.read.parquet(pages_path)
-        if cfg:
-            pages = apply_input_filters(pages, cfg.filters)
-        store = None
-        if cfg and cfg.checkpoint.backend == "iceberg":
-            from gemini_ocr_batch_spark.checkpoint import (
-                IcebergCheckpointStore,
+        except RuntimeError as exc:
+            print(
+                f"checkpoint.backend: iceberg requested but {exc}",
+                file=sys.stderr,
             )
-
-            try:
-                store = IcebergCheckpointStore(
-                    spark, cfg.checkpoint.iceberg_table,
-                    max_retries=max_retries,
-                )
-            except RuntimeError as exc:
-                print(
-                    f"checkpoint.backend: iceberg requested but {exc}",
-                    file=sys.stderr,
-                )
-                return 2
-        res = run_extraction_job(
-            spark,
-            pages,
-            out_dir,
-            max_retries=max_retries,
-            n_partitions=partitions,
-            track_inflight=cfg.execution.track_inflight if cfg else False,
-            n_buckets=cfg.checkpoint.n_buckets if cfg else 16,
-            store=store,
-        )
+            return 2
         print(
             json.dumps(
                 {
@@ -613,7 +635,10 @@ def main(argv: list[str] | None = None) -> int:
             out_dir,
             n=ngram,
             min_overlap=min_overlap,
-            bench_text_col=args.benchmark_text_col,
+            bench_text_col=(
+                args.benchmark_text_col
+                or (cfg.decontam.benchmark_text_col if cfg else "text")
+            ),
         )
         print(json.dumps(stats))
         return 0
@@ -923,7 +948,8 @@ def main(argv: list[str] | None = None) -> int:
             out = _shard_job(spark, args.in_path, args.out, args.shards,
                              args.key_col, args.text_col)
         except ValueError as exc:
-            print(f"shard: {exc}", file=sys.stderr)
+            print(f"shard: {exc}; pass --text-col or --text-col=''",
+                  file=sys.stderr)
             return 2
         print(json.dumps(out))
         return 0
@@ -941,10 +967,8 @@ def main(argv: list[str] | None = None) -> int:
             load_dotenv,
             resolve_config_path,
         )
-        from gemini_ocr_batch_spark.job import (
-            apply_input_filters,
-            run_extraction_job,
-        )
+        import os
+
         from gemini_ocr_batch_spark.operators.webtext import run_curation_job
 
         load_dotenv(".env")  # same resolution order as `run`
@@ -960,49 +984,45 @@ def main(argv: list[str] | None = None) -> int:
                 file=sys.stderr,
             )
             return 2
+        # fail on a half-configured decontam section BEFORE the expensive
+        # stages run: the standalone verb exits 2 for the same config,
+        # and silently skipping the sweep would ship a contaminated
+        # corpus with no signal
+        dec_set = (cfg.decontam.benchmark_path, cfg.decontam.flags_out)
+        if any(dec_set) and not all(dec_set):
+            missing = ("decontam.flags_out" if cfg.decontam.benchmark_path
+                       else "decontam.benchmark_path")
+            print(
+                f"pipeline: {missing} required (decontam is configured "
+                "half-way; set both benchmark_path and flags_out, or "
+                "neither to skip the stage)",
+                file=sys.stderr,
+            )
+            return 2
         spark = get_spark(
             master=args.master or cfg.spark.master,
             shuffle_partitions=cfg.spark.shuffle_partitions,
         )
         summary: dict = {}
 
-        if args.input_format == "warc":
-            from gemini_ocr_batch_spark.sources.warc import (
-                read_warc,
-                warc_to_pages,
+        try:
+            res = _extract_stage(
+                spark,
+                cfg.paths.pages,
+                cfg.paths.out,
+                args.input_format,
+                cfg.filters,
+                cfg.checkpoint,
+                cfg.execution.max_retries,
+                cfg.execution.partitions,
+                cfg.execution.track_inflight,
             )
-
-            pages = warc_to_pages(read_warc(spark, cfg.paths.pages))
-        else:
-            pages = spark.read.parquet(cfg.paths.pages)
-        pages = apply_input_filters(pages, cfg.filters)
-        store = None
-        if cfg.checkpoint.backend == "iceberg":
-            from gemini_ocr_batch_spark.checkpoint import (
-                IcebergCheckpointStore,
+        except RuntimeError as exc:
+            print(
+                f"checkpoint.backend: iceberg requested but {exc}",
+                file=sys.stderr,
             )
-
-            try:
-                store = IcebergCheckpointStore(
-                    spark, cfg.checkpoint.iceberg_table,
-                    max_retries=cfg.execution.max_retries,
-                )
-            except RuntimeError as exc:
-                print(
-                    f"checkpoint.backend: iceberg requested but {exc}",
-                    file=sys.stderr,
-                )
-                return 2
-        res = run_extraction_job(
-            spark,
-            pages,
-            cfg.paths.out,
-            max_retries=cfg.execution.max_retries,
-            n_partitions=cfg.execution.partitions,
-            track_inflight=cfg.execution.track_inflight,
-            n_buckets=cfg.checkpoint.n_buckets,
-            store=store,
-        )
+            return 2
         summary["extract"] = {
             "passes": res.passes,
             "extracted_rows": res.extracted_rows,
@@ -1032,20 +1052,30 @@ def main(argv: list[str] | None = None) -> int:
                 cfg.decontam.flags_out,
                 n=cfg.decontam.ngram,
                 min_overlap=cfg.decontam.min_overlap,
+                bench_text_col=cfg.decontam.benchmark_text_col,
             )
 
         if cfg.sharding.out:
             try:
                 summary["shard"] = _shard_job(
                     spark,
-                    cfg.curation.curated_out + "/corpus",
+                    os.path.join(cfg.curation.curated_out, "corpus"),
                     cfg.sharding.out,
                     cfg.sharding.n_shards,
                     cfg.sharding.key_col,
                     cfg.sharding.text_col,
                 )
             except ValueError as exc:
-                print(f"pipeline: shard stage: {exc}", file=sys.stderr)
+                # the upstream stages DID run and wrote artifacts —
+                # print their audit counts before failing, so the one
+                # JSON line the contract promises is not lost
+                print(json.dumps(summary))
+                print(
+                    f"pipeline: shard stage: {exc}; fix sharding."
+                    "key_col/text_col in the config (text_col '' skips "
+                    "token stats)",
+                    file=sys.stderr,
+                )
                 return 2
         print(json.dumps(summary))
         return 0

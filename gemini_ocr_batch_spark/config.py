@@ -126,6 +126,8 @@ class DecontamConfig:
     ngram: int = 8
     min_overlap: int = 1
     benchmark_path: str | None = None
+    # text column inside the benchmark parquet (eval dumps vary)
+    benchmark_text_col: str = "text"
     flags_out: str | None = None
 
 
@@ -379,10 +381,15 @@ def validate_config(raw: dict, source: str = "<in-memory>") -> AppConfig:
             ctx.err(f"decontam.{key}", "must be a non-empty string")
             val = None
         dec_strs[key] = val
+    bench_text_col = dec_sec.get("benchmark_text_col", "text")
+    if not isinstance(bench_text_col, str) or not bench_text_col:
+        ctx.err("decontam.benchmark_text_col", "must be a non-empty string")
+        bench_text_col = "text"
     decontam = DecontamConfig(
         ngram=_opt_int(dec_sec, "decontam", "ngram", 8, ctx, ge=2),
         min_overlap=_opt_int(dec_sec, "decontam", "min_overlap", 1, ctx, ge=1),
         benchmark_path=dec_strs["benchmark_path"],
+        benchmark_text_col=bench_text_col,
         flags_out=dec_strs["flags_out"],
     )
 
@@ -401,8 +408,16 @@ def validate_config(raw: dict, source: str = "<in-memory>") -> AppConfig:
     if not isinstance(shard_text, str):  # '' is valid: skips token stats
         ctx.err("sharding.text_col", "must be a string ('' to skip tokens)")
         shard_text = "text"
+    n_shards = _opt_int(sh_sec, "sharding", "n_shards", 16, ctx, ge=1)
+    if n_shards is None:
+        # unlike execution.partitions, null has no meaning here — reject
+        # at load instead of crashing the shard stage after the
+        # expensive extract/curate stages have already run
+        ctx.err("sharding.n_shards",
+                "null not allowed (omit the key for the default)")
+        n_shards = 16
     sharding = ShardingConfig(
-        n_shards=_opt_int(sh_sec, "sharding", "n_shards", 16, ctx, ge=1),
+        n_shards=n_shards,
         out=shard_out,
         key_col=shard_key,
         text_col=shard_text,

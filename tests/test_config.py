@@ -303,3 +303,26 @@ def test_lang_filter_keeps_unknown_lang_by_default(spark):
         pages, FiltersConfig(langs=["en"], keep_unknown_lang=False)
     )
     assert {r["url"] for r in strict.collect()} == {"u1"}
+
+
+def test_sharding_section_validation():
+    from gemini_ocr_batch_spark.config import ConfigError, validate_config
+
+    import pytest
+
+    base = {"paths": {"pages": "p", "out": "o"}}
+    cfg = validate_config({**base, "sharding": {"n_shards": 8, "out": "s"}})
+    assert cfg.sharding.n_shards == 8 and cfg.sharding.out == "s"
+    # null n_shards must fail at LOAD, not crash the shard stage later
+    with pytest.raises(ConfigError, match="sharding.n_shards"):
+        validate_config({**base, "sharding": {"n_shards": None, "out": "s"}})
+    with pytest.raises(ConfigError, match="sharding.out"):
+        validate_config({**base, "sharding": {"out": "  "}})
+    # benchmark_text_col: validated string with a 'text' default
+    assert validate_config(base).decontam.benchmark_text_col == "text"
+    cfg2 = validate_config(
+        {**base, "decontam": {"benchmark_text_col": "body"}}
+    )
+    assert cfg2.decontam.benchmark_text_col == "body"
+    with pytest.raises(ConfigError, match="decontam.benchmark_text_col"):
+        validate_config({**base, "decontam": {"benchmark_text_col": ""}})

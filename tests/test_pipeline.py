@@ -377,3 +377,57 @@ sharding:
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["extract"]["success_rows"] > 0
     assert rep["shard"]["docs"] == rep["curate"]["kept"] > 0
+
+
+def test_pipeline_verb_rejects_half_configured_decontam(tmp_path, capsys):
+    """A decontam section with benchmark_path but no flags_out must fail
+    BEFORE the expensive stages run (the standalone verb exits 2 for the
+    same config; silently skipping would ship a contaminated corpus)."""
+    from gemini_ocr_batch_spark.__main__ import main
+
+    cfg = tmp_path / "cfg.yaml"
+    cfg.write_text(f"""
+paths:
+  pages: {tmp_path / 'nope.parquet'}
+  out: {tmp_path / 'out'}
+curation:
+  curated_out: {tmp_path / 'curated'}
+decontam:
+  benchmark_path: {tmp_path / 'bench.parquet'}
+""")
+    rc = main(["pipeline", "--config", str(cfg)])
+    assert rc == 2
+    err = capsys.readouterr().err
+    assert "decontam.flags_out" in err
+    # nothing ran: the input does not even exist and was never touched
+    assert not (tmp_path / "out").exists()
+
+
+def test_pipeline_verb_shard_failure_still_prints_summary(
+    spark, pages_parquet, tmp_path, capsys
+):
+    """A bad sharding column fails the LAST stage — the completed
+    stages' audit counts must still be printed as the one JSON line."""
+    import json
+
+    from gemini_ocr_batch_spark.__main__ import main
+
+    cfg = tmp_path / "cfg.yaml"
+    cfg.write_text(f"""
+paths:
+  pages: {pages_parquet}
+  out: {tmp_path / 'out'}
+curation:
+  curated_out: {tmp_path / 'curated'}
+sharding:
+  out: {tmp_path / 'shards'}
+  text_col: no_such_column
+""")
+    rc = main(["pipeline", "--config", str(cfg)])
+    assert rc == 2
+    captured = capsys.readouterr()
+    rep = json.loads(captured.out.strip().splitlines()[-1])
+    assert rep["extract"]["success_rows"] > 0
+    assert rep["curate"]["kept"] > 0
+    assert "shard" not in rep
+    assert "sharding.key_col/text_col" in captured.err
