@@ -952,8 +952,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_group": _q_topk_per_group,
         "distinct_stats": _q_distinct_stats,
         "pricing_summary": _q_pricing_summary,
-        "pivot_matrix": _q_pivot,
-        "rollup_totals": _q_rollup,
+        # r6 late rotation: pivot_matrix + rollup_totals (generic SQL
+        # aggregate forms not mapped to any SURVEY §2 row; the family
+        # stays driver-covered by pricing_summary / counts_by_group /
+        # star_join) retired to local_parity() — the freed slots
+        # driver-register the CCNet LM quality signal and DSIR
+        # importance weighting, the two most product-critical late-r6
+        # operators (see the "training-data pipeline" group below).
         # sorts/limits/set ops (L*/SO*)
         "ordered_limit": _q_ordered_limit,
         "set_except": _q_set_except,
@@ -987,6 +992,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the Gopher line/symbol quality rules.
         "decontaminate": _q_decontaminate,
         "gopher_flags": _q_gopher_flags,
+        # r6 late rotation (slots freed by pivot_matrix/rollup_totals):
+        "ngram_logprob": _q_ngram_logprob,
+        "dsir_weights": _q_dsir_weights,
         "json_fence_rescue": _q_json_fence_rescue,
         "json_validate": _q_json_validate,
         "sessionize": _q_sessionize,
@@ -2944,13 +2952,31 @@ def local_parity() -> dict[str, tuple]:
             _q_pack_sequences,
             _PACK_SEQUENCES_ORACLE,
         ),
-        "ngram_logprob": (
-            _q_ngram_logprob,
-            _NGRAM_LOGPROB_ORACLE,
+        # r6 late rotation: ngram_logprob + dsir_weights promoted to the
+        # driver registry; the retired pivot_matrix / rollup_totals
+        # (generic SQL aggregate forms) ride the same gate here instead.
+        "pivot_matrix": (
+            _q_pivot,
+            """
+            SELECT l_returnflag,
+                   CAST(sum(CASE WHEN l_linestatus = 'O'
+                        THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE)
+                     AS qty_o,
+                   CAST(sum(CASE WHEN l_linestatus = 'F'
+                        THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE)
+                     AS qty_f
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+            """,
         ),
-        "dsir_weights": (
-            _q_dsir_weights,
-            _DSIR_WEIGHTS_ORACLE,
+        "rollup_totals": (
+            _q_rollup,
+            """
+            SELECT coalesce(o_orderpriority, 'ALL') AS prio,
+                   coalesce(o_orderstatus, 'ALL') AS status,
+                   count(*) AS n
+            FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+            ORDER BY prio, status
+            """,
         ),
         "lm_buckets": (
             _q_lm_buckets,
@@ -3123,23 +3149,10 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_returnflag, l_linestatus
             ORDER BY l_returnflag, l_linestatus
         """,
-        "pivot_matrix": """
-            SELECT l_returnflag,
-                   CAST(sum(CASE WHEN l_linestatus = 'O'
-                        THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE)
-                     AS qty_o,
-                   CAST(sum(CASE WHEN l_linestatus = 'F'
-                        THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE)
-                     AS qty_f
-            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
-        """,
-        "rollup_totals": """
-            SELECT coalesce(o_orderpriority, 'ALL') AS prio,
-                   coalesce(o_orderstatus, 'ALL') AS status,
-                   count(*) AS n
-            FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
-            ORDER BY prio, status
-        """,
+        # r6 late rotation: pivot_matrix / rollup_totals oracles moved
+        # to local_parity(); ngram_logprob / dsir_weights promoted here.
+        "ngram_logprob": _NGRAM_LOGPROB_ORACLE,
+        "dsir_weights": _DSIR_WEIGHTS_ORACLE,
         "star_join": """
             SELECT r_name, count(*) AS n_orders,
                    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
