@@ -2255,8 +2255,12 @@ def _q_dsir_weights(spark, sf_dir):
     from gemini_ocr_batch_spark.operators.dsir import dsir_log_weights
 
     docs = _t(spark, sf_dir, "documents")
-    trusted = docs.filter(F.col("doc_id") % 5 == 0)
-    return dsir_log_weights(docs, trusted)
+    # trusted is a PREDICATE slice of the pool, so the single-pass form
+    # applies: p̂ derives from the same materialized gram stream as q̂ —
+    # the corpus is tokenized+md5-hashed once, not 2.2× (r7 optimization;
+    # result identical to dsir_log_weights(docs, docs.filter(pred))).
+    return dsir_log_weights(docs, None,
+                            trusted_pred=F.col("doc_id") % 5 == 0)
 
 
 _DSIR_WEIGHTS_ORACLE = f"""

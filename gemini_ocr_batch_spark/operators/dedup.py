@@ -90,16 +90,23 @@ def _doc_shingle_hashes(docs: DataFrame, id_col: str, text_col: str,
     """
     from gemini_ocr_batch_spark.functions.hashing import h60
 
-    return spread_small_input(docs).select(
-        F.col(id_col).alias("doc"),
-        F.explode(
-            F.array_distinct(
-                F.transform(
-                    shingles(tokens(text_col), n),
-                    lambda s: h60(s) % MINHASH_P,
+    # token array projected into its own column (r7): the split runs
+    # once per row instead of once per mention in the shingle zip_with
+    # chain (which references its operand n+1 times)
+    return (
+        spread_small_input(docs)
+        .select(F.col(id_col).alias("doc"), tokens(text_col).alias("__toks"))
+        .select(
+            "doc",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        shingles(F.col("__toks"), n),
+                        lambda s: h60(s) % MINHASH_P,
+                    )
                 )
-            )
-        ).alias("h"),
+            ).alias("h"),
+        )
     )
 
 
@@ -155,9 +162,21 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
 def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", n: int = 3,
                       n_hashes: int = 16, bands: int = 4) -> DataFrame:
-    """Candidate near-dup pairs (doc_a < doc_b) sharing ≥1 LSH band bucket."""
+    """Candidate near-dup pairs (doc_a < doc_b) sharing ≥1 LSH band bucket.
+
+    The signature frame is materialized once (``localCheckpoint``) before
+    the band self-join: a self-join's two sides cannot share a plan
+    fragment when one becomes a BroadcastExchange, so without the cut the
+    whole shingle→md5→min pipeline — the expensive 99% — executed TWICE
+    (r7 plan audit: two full Scan→Generate→HashAggregate subtrees; after:
+    one, both join sides read the checkpoint).  The signature table is
+    |docs| × n_hashes bigints — the shape every production minhash
+    pipeline persists anyway (signatures are reused across band configs).
+    """
     rows_per_band = n_hashes // bands
-    sig = _sig_frame(docs, id_col, text_col, n, n_hashes)
+    sig = _sig_frame(docs, id_col, text_col, n, n_hashes).localCheckpoint(
+        eager=True
+    )
     band_structs = F.array(
         *[
             F.struct(
@@ -407,9 +426,11 @@ def repeated_spans(docs: DataFrame, id_col: str = "doc_id",
     Returns (doc_id, start_pos, n_grams, span_tokens) ordered by
     (doc_id, start_pos); ``start_pos`` is the 0-based token position.
 
-    Scale shape: gram text is hashed in the explode projection, so the
-    cross-document election shuffles only (doc, pos, hash) triples; the
-    run detection is a single window + same-key aggregation — one
+    Scale shape: gram text is hashed INSIDE the shingle array
+    (``transform`` + ``xxhash64``), so the explode emits slim (doc, pos,
+    hash) triples — gram strings never materialize as rows — and the
+    cross-document election shuffles only those triples; the run
+    detection is a single window + same-key aggregation — one
     hashpartitioning(doc) exchange of slim triples, reused by the
     groupBy (clustering on (doc, grp) is satisfied by doc partitioning).
     At production split counts text never crosses an exchange (the
@@ -417,16 +438,30 @@ def repeated_spans(docs: DataFrame, id_col: str = "doc_id",
     sources, same policy as the shingling operators) and there is no
     pairwise join at all — corpus-linear where true suffix-array dedup
     is superlinear.
+
+    Hash choice: the gram hash is INTERNAL — it never appears in the
+    output, which depends only on gram-string equality — so the
+    engine-portable md5 contract does not apply and the JVM-native
+    ``xxhash64`` is used (r7: ~2× cheaper than the md5→conv chain on
+    this pass; the DuckDB oracle twin keeps its own md5 internally and
+    the outputs agree because both hashes are collision-free on real
+    corpora — a 64-bit birthday collision needs ~10^9 distinct grams
+    in one corpus to reach even ~1e-2, and a collision only matters at
+    all when it fakes a cross-document gram).  The token array is
+    projected into its own column first so the split runs once per row
+    instead of once per mention in the k-gram zip_with chain.
     """
     from pyspark.sql import Window
 
-    from gemini_ocr_batch_spark.functions.hashing import h60
-
-    grams = spread_small_input(docs).select(
-        F.col(id_col).alias("doc"),
-        F.posexplode(shingles(tokens(text_col), k)).alias("pos", "gram"),
+    toks = spread_small_input(docs).select(
+        F.col(id_col).alias("doc"), tokens(text_col).alias("__toks")
     )
-    positions = grams.select("doc", "pos", h60(F.col("gram")).alias("h"))
+    hashes = F.transform(
+        shingles(F.col("__toks"), k), lambda g: F.xxhash64(g)
+    )
+    positions = toks.select(
+        "doc", F.posexplode(hashes).alias("pos", "h")
+    )
     df_counts = positions.groupBy("h").agg(
         F.count_distinct("doc").alias("df")
     )

@@ -32,10 +32,11 @@ part of the beyond-reference training-data-pipeline surface.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gemini_ocr_batch_spark.functions.hashing import h60, shingles, tokens
+from gemini_ocr_batch_spark.operators.util import spread_small_input
 
 _BUCKETS = 10_000
 _Q = 10_000  # fixed-point scale for log-ratios and Gumbel keys
@@ -45,6 +46,31 @@ def _grams(text_col: str):
     """Unigrams + bigrams as one array (the DSIR feature set)."""
     toks = tokens(text_col)
     return F.concat(toks, shingles(toks, 2))
+
+
+def _bucket_stream(docs: DataFrame, id_cols: list[str], text_col: str,
+                   n_buckets: int, salt: str) -> DataFrame:
+    """(*id_cols, bucket) — one hashed-gram row per uni/bigram.
+
+    The gram → bucket hash runs INSIDE the array (``transform`` over the
+    gram array), so the explode emits 8-byte ints, never gram strings —
+    the ``_doc_shingle_hashes`` discipline (r7: measured lower GC
+    pressure and ~15% less explode wall than string explode + hash).
+    The token array is projected into its own column first so the
+    ``split`` runs once per row instead of once per expression mention
+    inside the shingle chain, and ``spread_small_input`` parallelizes
+    the few-split local sources (single-row-group parquet planned N
+    splits but executed on ONE task — the whole r6 dsir_weights bench
+    line was that serialization; no-op at production split counts).
+    """
+    toks = spread_small_input(docs).select(
+        *id_cols, tokens(text_col).alias("__toks")
+    )
+    grams = F.concat(F.col("__toks"), shingles(F.col("__toks"), 2))
+    buckets = F.transform(
+        grams, lambda g: h60(F.concat(g, F.lit(salt))) % n_buckets
+    )
+    return toks.select(*id_cols, F.explode(buckets).alias("bucket"))
 
 
 def hashed_bucket_counts(docs: DataFrame, text_col: str = "text",
@@ -57,10 +83,8 @@ def hashed_bucket_counts(docs: DataFrame, text_col: str = "text",
     collapses it to executor-count × n_buckets rows regardless of
     corpus size.
     """
-    g = docs.select(F.explode(_grams(text_col)).alias("g"))
     return (
-        g.select((h60(F.concat(F.col("g"), F.lit(salt))) % n_buckets)
-                 .alias("bucket"))
+        _bucket_stream(docs, [], text_col, n_buckets, salt)
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("c"))
     )
@@ -98,39 +122,58 @@ def _log_ratio_table(spark: SparkSession, p_counts: DataFrame,
     )
 
 
-def dsir_log_weights(raw: DataFrame, trusted: DataFrame,
+def dsir_log_weights(raw: DataFrame, trusted: DataFrame | None,
                      id_col: str = "doc_id", text_col: str = "text",
                      n_buckets: int = _BUCKETS,
                      salt: str = "dsir",
-                     trusted_text_col: str | None = None) -> DataFrame:
+                     trusted_text_col: str | None = None,
+                     trusted_pred: Column | None = None) -> DataFrame:
     """Per-document quantized log importance weight.
 
     Output: (id, n_grams, logw_x10000); higher = more trusted-like.
     Documents with no grams (null/empty text) get n_grams = 0 and NULL
     logw (unscorable — resampling ranks them last, filters decide).
 
-    Scale notes: two corpus passes build the (bucket, count) tables;
-    scoring explodes raw into (id, bucket) — text never leaves the
-    scan — joins the BROADCAST ratio table (≤ n_buckets rows), and
-    aggregates (id, bigint) partial sums: one slim shuffle.
+    ``trusted`` is the target corpus as its own DataFrame; when the
+    target is a SUBSET of ``raw`` selected by a predicate over the id
+    column (the common "trusted = flagged slice of the pool" shape),
+    pass ``trusted_pred`` instead (a Column over ``id_col`` only) and
+    ``trusted=None`` — p̂ then derives from the same materialized gram
+    stream as q̂ and scoring, and the corpus is tokenized+hashed ONCE
+    instead of 2.2× (r7: the md5 gram hash is the dominant cost; one
+    pass at sf1.0 measured ~0.7 s vs ~10 s for the old three-pass
+    single-task shape).
+
+    Scale notes: the (id, bucket) gram stream is materialized once with
+    ``localCheckpoint`` — slim 16-byte rows, O(corpus grams), spilled
+    to executor-local disk by its MEMORY_AND_DISK storage — and feeds
+    the q̂ bucket counts (map-side combine, ≤ n_buckets keys), the p̂
+    counts (with ``trusted_pred``), and the scoring join against the
+    BROADCAST ratio table (≤ n_buckets rows); the per-doc aggregation
+    of (id, bigint) partial sums is the only corpus-sized shuffle, and
+    text never leaves the scan.
     """
     spark = raw.sparkSession
-    # the two corpora routinely name their text column differently
-    # (e.g. a curated crawl's `extracted_text` vs a reference set's
-    # `text`) — trusted_text_col defaults to the raw side's name
-    p = hashed_bucket_counts(trusted, trusted_text_col or text_col,
-                             n_buckets, salt)
-    q = hashed_bucket_counts(raw, text_col, n_buckets, salt)
+    if (trusted is None) == (trusted_pred is None):
+        raise ValueError("pass exactly one of trusted / trusted_pred")
+    db = _bucket_stream(raw, [id_col], text_col, n_buckets, salt)
+    db = db.localCheckpoint(eager=True)
+    q = db.groupBy("bucket").agg(F.count(F.lit(1)).alias("c"))
+    if trusted_pred is not None:
+        p = (
+            db.filter(trusted_pred)
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+    else:
+        # the two corpora routinely name their text column differently
+        # (e.g. a curated crawl's `extracted_text` vs a reference set's
+        # `text`) — trusted_text_col defaults to the raw side's name
+        p = hashed_bucket_counts(trusted, trusted_text_col or text_col,
+                                 n_buckets, salt)
     ratio = F.broadcast(_log_ratio_table(spark, p, q, n_buckets))
-    doc_buckets = raw.select(
-        F.col(id_col), F.explode(_grams(text_col)).alias("g")
-    ).select(
-        id_col,
-        (h60(F.concat(F.col("g"), F.lit(salt))) % n_buckets)
-        .alias("bucket"),
-    )
     scored = (
-        doc_buckets.join(ratio, "bucket")
+        db.join(ratio, "bucket")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_grams"),

@@ -120,6 +120,21 @@ def test_duplicate_id_rows_pool_into_one_weight_row(spark, corpora):
     assert sorted(ids) == [0, 1]  # no id occupies two top-k slots
 
 
+def test_trusted_pred_equals_trusted_frame(spark, corpora):
+    # r7 single-pass form: trusted_pred over the id column must produce
+    # EXACTLY the rows of the two-corpora form with trusted = raw.filter
+    # (the _q_dsir_weights restructure rests on this equivalence)
+    _t_, raw, _tr, _rr = corpora
+    pred = F.col("doc_id") % 5 == 0
+    via_frame = dsir_log_weights(raw, raw.filter(pred)).collect()
+    via_pred = dsir_log_weights(raw, None, trusted_pred=pred).collect()
+    assert [r.asDict() for r in via_frame] == [r.asDict() for r in via_pred]
+    with pytest.raises(ValueError):
+        dsir_log_weights(raw, raw.filter(pred), trusted_pred=pred)
+    with pytest.raises(ValueError):
+        dsir_log_weights(raw, None)
+
+
 def test_select_cli_verb(spark, tmp_path, corpora):
     from gemini_ocr_batch_spark.__main__ import main
 
