@@ -52,16 +52,24 @@ def host_col(url) -> F.Column:
     )
 
 
-def label_suffix_col(host: F.Column, k: int) -> F.Column:
-    """The last-``k``-labels suffix of a host ('' when the host has
-    fewer than ``k`` labels, so it never false-matches)."""
-    labels = F.split(host, r"\.")
+def _suffix_from_labels(labels: F.Column, k: int) -> F.Column:
+    """The last-``k``-labels suffix from a pre-split label array ('' when
+    the host has fewer than ``k`` labels, so it never false-matches).
+    Taking the ARRAY rather than the host string lets callers split the
+    host once and derive every probe depth from it (r7: the per-depth
+    ``F.split`` re-ran the regex max_labels times per row)."""
     return F.when(
         F.size(labels) >= k,
         F.concat_ws(
             ".", F.slice(labels, F.size(labels) - (k - 1), F.lit(k))
         ),
     ).otherwise(F.lit(""))
+
+
+def label_suffix_col(host: F.Column, k: int) -> F.Column:
+    """The last-``k``-labels suffix of a host ('' when the host has
+    fewer than ``k`` labels, so it never false-matches)."""
+    return _suffix_from_labels(F.split(host, r"\."), k)
 
 
 def blocklist_filter(
@@ -95,7 +103,11 @@ def blocklist_filter(
         F.lower(F.trim(F.col(domain_col))).alias("__blocked")
     ).filter(F.col("__blocked") != "")
     host = host_col(url_col)
-    out = out.withColumn("__h0", host)
+    # split the host into labels ONCE; every probe depth derives from the
+    # array (r7: label_suffix_col re-ran the split regex per depth)
+    out = out.withColumn("__h0", host).withColumn(
+        "__hl", F.split(F.col("__h0"), r"\.")
+    )
     # full-host equality, then each label-suffix depth (k=1 included: a
     # single-label entry — a bare TLD — is suffix semantics like any
     # other, caught by property fuzz in r6); every probe is a broadcast
@@ -105,11 +117,11 @@ def blocklist_filter(
     )
     for k in range(1, max_labels + 1):
         sfx = f"__h{k}"
-        out = out.withColumn(sfx, label_suffix_col(F.col("__h0"), k))
+        out = out.withColumn(sfx, _suffix_from_labels(F.col("__hl"), k))
         out = out.join(
             F.broadcast(bd), out[sfx] == bd["__blocked"], "left_anti"
         ).drop(sfx)
-    return out.drop("__h0")
+    return out.drop("__h0", "__hl")
 
 
 def robots_filter(
@@ -202,25 +214,59 @@ def blocklist_flags(
     :func:`blocklist_filter`, for composing into curation passes and for
     measuring blocklist hit rates without rewriting the corpus.
 
-    Computed as a slim DISTINCT-url projection minus the filtered
-    survivor set — one row per distinct url, and the pages side of every
-    join carries only the url column, so even the flag pass never moves
-    page payloads.
+    One LINEAR pass over the slim DISTINCT-url projection: the host is
+    split once, each probe depth is a broadcast hash LEFT OUTER join
+    against the (deduplicated) blocklist, and ``blocked`` is the OR of
+    the per-depth match flags plus the pattern predicate.  This replaces
+    the r6 shape — run the anti-join filter, then LEFT JOIN the
+    survivor set back against the urls — which both duplicated the
+    urls-distinct subtree on the two join sides and BROADCAST the
+    survivor set (corpus-sized at crawl scale: a plan that cannot run at
+    100 TB; the blocklist side is the only thing that may broadcast).
+    Exactly the rows of the old form: one row per distinct url,
+    ``blocked`` boolean, never NULL.
     """
     urls = pages.select(url_col).distinct()
-    kept = blocklist_filter(
-        urls,
-        blocked_domains,
-        patterns,
-        url_col=url_col,
-        domain_col=domain_col,
-        max_labels=max_labels,
-    ).withColumn("__kept", F.lit(True))
-    return (
-        urls.join(kept, url_col, "left")
-        .select(
-            F.col(url_col),
-            F.coalesce(~F.col("__kept"), F.lit(True)).alias("blocked"),
+    u = F.col(url_col)
+    blocked = F.lit(False)
+    if patterns:
+        combined = "|".join(f"(?:{p})" for p in patterns)
+        # a NULL url never passes the filter form's ~rlike gate (NULL
+        # predicate → dropped → flagged); coalesce(True) replicates that
+        blocked = blocked | F.coalesce(u.rlike(combined), F.lit(True))
+    out = urls
+    if blocked_domains is not None:
+        # the LEFT OUTER probes (unlike an anti-join's build side) would
+        # duplicate url rows on duplicate blocklist entries, so dedupe —
+        # the blocklist is the SMALL side (UT1 is megabytes), the distinct
+        # is one tiny exchange, and exchange reuse serves the 1+max_labels
+        # broadcast builds from that single aggregation (no eager
+        # materialization: a checkpoint job costs more than the distinct)
+        bd = (
+            blocked_domains.select(
+                F.lower(F.trim(F.col(domain_col))).alias("__blocked")
+            )
+            .filter(F.col("__blocked") != "")
+            .distinct()
         )
+        out = out.withColumn("__h0", host_col(url_col)).withColumn(
+            "__hl", F.split(F.col("__h0"), r"\.")
+        )
+        probes = [F.col("__h0")] + [
+            _suffix_from_labels(F.col("__hl"), k)
+            for k in range(1, max_labels + 1)
+        ]
+        for k, probe in enumerate(probes):
+            b = F.col(f"__b{k}")
+            out = out.withColumn(f"__p{k}", probe).join(
+                F.broadcast(bd.select(F.col("__blocked").alias(f"__b{k}"))),
+                F.col(f"__p{k}") == b,
+                "left",
+            )
+            blocked = blocked | b.isNotNull()
+        # the __p/__b helper columns stay until this projection — the
+        # ``blocked`` OR references the match columns of every depth
+    return (
+        out.select(u, blocked.alias("blocked"))
         .orderBy(url_col)
     )

@@ -213,46 +213,66 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
 # ---------------------------------------------------------------------------
 
 
+def _simhash_frame(docs: DataFrame, id_col: str, text_col: str,
+                   bits: int) -> DataFrame:
+    """(doc, simhash) without the presentation sort — the shared core of
+    :func:`simhash` and :func:`simhash_near_pairs`.
+
+    r7 restructure.  The old pipeline exploded tokens, ran a
+    SHUFFLE-WIDE ``distinct()`` over (doc, token) STRINGS, exploded a
+    bit-index array (×``bits`` row blowup — 18M rows at sf0.1), and
+    aggregated twice (doc,bit → doc).  Same result, three structural
+    fixes: per-doc token dedup happens IN-ARRAY on the 60-bit hashes
+    (``array_distinct∘transform`` — ``distinct()`` grouped by (doc,
+    token) anyway, so dedup is per-document and needs no shuffle; equal
+    hashes ⇔ equal tokens modulo an md5 collision inside one document),
+    the per-bit votes are ``bits`` conditional-sum COLUMNS in ONE
+    map-side-combinable groupBy (no row blowup, shuffle carries |docs|
+    partial rows), and the bit-OR reassembly is a plain projection.
+    """
+    from gemini_ocr_batch_spark.functions.hashing import h60
+
+    tok = (
+        spread_small_input(docs)
+        .select(F.col(id_col).alias("doc"), tokens(text_col).alias("__toks"))
+        .select(
+            "doc",
+            F.explode(
+                F.array_distinct(
+                    F.transform(F.col("__toks"), lambda t: h60(t))
+                )
+            ).alias("th"),
+        )
+    )
+    votes = [
+        F.sum(
+            F.when(F.expr(f"(th >> {i}) & 1") == 1, 1).otherwise(-1)
+        ).alias(f"__v{i}")
+        for i in range(bits)
+    ]
+    sim = None
+    for i in range(bits):
+        piece = F.when(
+            F.col(f"__v{i}") > 0, F.lit(1 << i).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+        sim = piece if sim is None else sim + piece
+    return (
+        tok.groupBy("doc")
+        .agg(*votes)
+        .select("doc", sim.alias("simhash"))
+    )
+
+
 def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
             bits: int = 16) -> DataFrame:
     """(doc_id, simhash) — sign-sum of per-token hash bits.
 
     Each distinct token hashes to a 60-bit int; bit i of the simhash is 1
     iff more tokens have bit i set than unset. ``bits`` ≤ 60. Pure
-    relational: explode tokens → explode bit positions (a small literal
-    array) → conditional sum → bit-OR reassembly.
+    relational — see :func:`_simhash_frame` for the physical shape.
     """
-    from gemini_ocr_batch_spark.functions.hashing import h60
-
-    tok = (
-        spread_small_input(docs)
-        .select(F.col(id_col).alias("doc"),
-                F.explode(tokens(text_col)).alias("token"))
-        .distinct()
-        .select("doc", h60(F.col("token")).alias("th"))
-    )
-    bit_idx = F.sequence(F.lit(0), F.lit(bits - 1))
-    per_bit = (
-        tok.select("doc", "th", F.explode(bit_idx).alias("bit"))
-        .select(
-            "doc",
-            "bit",
-            # shiftright with a column shift amount needs the SQL form
-            F.when(F.expr("(th >> bit) & 1") == 1, 1)
-            .otherwise(-1)
-            .alias("vote"),
-        )
-        .groupBy("doc", "bit")
-        .agg(F.sum("vote").alias("v"))
-    )
     return (
-        per_bit.groupBy("doc")
-        .agg(
-            F.sum(
-                F.when(F.col("v") > 0, F.expr("cast(1 as bigint) << bit"))
-                .otherwise(0)
-            ).alias("simhash")
-        )
+        _simhash_frame(docs, id_col, text_col, bits)
         .select(F.col("doc").alias(id_col), F.col("simhash"))
         .orderBy(id_col)
     )
@@ -278,9 +298,15 @@ def simhash_near_pairs(docs: DataFrame, id_col: str = "doc_id",
     """
     n_bands = max_hamming + 1
     band_bits = bits // n_bands
-    sig = simhash(docs, id_col, text_col, bits)
+    # materialize signatures once before the self-join (the minhash
+    # argument: a self-join's sides cannot share the fragment once one
+    # becomes a broadcast build, so the whole signature pipeline ran
+    # twice); |docs| × 2 bigints — tiny
+    sig = _simhash_frame(docs, id_col, text_col, bits).localCheckpoint(
+        eager=True
+    )
     banded = sig.select(
-        F.col(id_col).alias("doc"),
+        F.col("doc"),
         "simhash",
         F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
     ).withColumn(
@@ -298,8 +324,15 @@ def simhash_near_pairs(docs: DataFrame, id_col: str = "doc_id",
                 F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
             ).alias("hamming"),
         )
-        .distinct()
+        # verify BEFORE dedup (r7): the hamming gate is row-wise, so it
+        # commutes with distinct — but the candidate stream is the
+        # quadratic part (every same-bucket pair), and the old order
+        # shuffled ALL of it through the distinct; filtering first
+        # dedups only true near-pairs (sf0.1: 11.0 s → the filter cuts
+        # the distinct's input from ~12M candidate rows to the near-dup
+        # minority)
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
         .orderBy("doc_a", "doc_b")
     )
 
@@ -459,9 +492,16 @@ def repeated_spans(docs: DataFrame, id_col: str = "doc_id",
     hashes = F.transform(
         shingles(F.col("__toks"), k), lambda g: F.xxhash64(g)
     )
+    # materialize the slim triples once: the df-election and the probe
+    # side both consume positions, and without the cut the tokenize +
+    # shingle + hash pass ran TWICE (r7 A/B at sf1.0: 3.4 s → 2.3 s, and
+    # every reps-pair improved).  The checkpoint is (doc, pos, h) ints —
+    # ~2% of corpus text bytes, the same bounded-intermediate posture as
+    # dsir's gram stream; recomputing would re-read and re-tokenize the
+    # full text instead.
     positions = toks.select(
         "doc", F.posexplode(hashes).alias("pos", "h")
-    )
+    ).localCheckpoint(eager=True)
     df_counts = positions.groupBy("h").agg(
         F.count_distinct("doc").alias("df")
     )
