@@ -98,6 +98,12 @@ def semdedup_pairs(embeddings: DataFrame, centroids: list[list[float]],
 
 def _keep_from_index(idx: DataFrame, centroids: list[list[float]],
                      tau: float) -> DataFrame:
+    # materialize the assignment once (r7): the pair scan consumes idx on
+    # BOTH self-join sides and the election scores it a third time, so
+    # the argmin-over-centroids pass ran 3× — (id, centroid_id, vector)
+    # is exactly the table the persisted-index job (`index` verb) writes
+    # to disk at scale, so cutting here mirrors the production layout
+    idx = idx.localCheckpoint(eager=True)
     pairs = _cell_pairs(idx, tau).select("doc_a", "doc_b")
     comp = connected_components(pairs)
     cent_arr = F.array(*[
