@@ -90,6 +90,32 @@ def hashed_bucket_counts(docs: DataFrame, text_col: str = "text",
     )
 
 
+def _log_ratio_fused(spark: SparkSession, counts: DataFrame,
+                     n_buckets: int) -> DataFrame:
+    """Ratio table from ONE fused (bucket, pc, qc) count table — the
+    ``trusted_pred`` path computes p̂ and q̂ in a single aggregation
+    over the gram stream, so this builder needs one checkpoint, one
+    totals collect, and one densify join where the two-table form needs
+    two of each (r7: each extra model-sized job is ~0.2-0.3 s of fixed
+    scheduling cost at local scale)."""
+    counts = counts.localCheckpoint(eager=True)
+    row = counts.agg(F.sum("pc"), F.sum("qc")).collect()[0]
+    p_tot, q_tot = int(row[0] or 0), int(row[1] or 0)
+    all_b = spark.range(n_buckets).select(F.col("id").alias("bucket"))
+    joined = all_b.join(counts, "bucket", "left")
+    lr = F.log(
+        (F.coalesce(F.col("pc"), F.lit(0)) + F.lit(1)).cast("double")
+        / F.lit(float(p_tot + n_buckets))
+    ) - F.log(
+        (F.coalesce(F.col("qc"), F.lit(0)) + F.lit(1)).cast("double")
+        / F.lit(float(q_tot + n_buckets))
+    )
+    return joined.select(
+        "bucket",
+        F.floor(lr * _Q + F.lit(0.5)).cast("bigint").alias("lr_q"),
+    )
+
+
 def _log_ratio_table(spark: SparkSession, p_counts: DataFrame,
                      q_counts: DataFrame, n_buckets: int) -> DataFrame:
     """Per-bucket quantized log importance ratio, densified over all
@@ -158,20 +184,24 @@ def dsir_log_weights(raw: DataFrame, trusted: DataFrame | None,
         raise ValueError("pass exactly one of trusted / trusted_pred")
     db = _bucket_stream(raw, [id_col], text_col, n_buckets, salt)
     db = db.localCheckpoint(eager=True)
-    q = db.groupBy("bucket").agg(F.count(F.lit(1)).alias("c"))
     if trusted_pred is not None:
-        p = (
-            db.filter(trusted_pred)
-            .groupBy("bucket")
-            .agg(F.count(F.lit(1)).alias("c"))
+        # p̂ and q̂ in ONE aggregation over the gram stream: qc counts
+        # every gram row, pc only those whose id satisfies the predicate
+        counts = db.groupBy("bucket").agg(
+            F.count(F.lit(1)).alias("qc"),
+            F.sum(
+                F.when(trusted_pred, F.lit(1)).otherwise(F.lit(0))
+            ).alias("pc"),
         )
+        ratio = F.broadcast(_log_ratio_fused(spark, counts, n_buckets))
     else:
         # the two corpora routinely name their text column differently
         # (e.g. a curated crawl's `extracted_text` vs a reference set's
         # `text`) — trusted_text_col defaults to the raw side's name
         p = hashed_bucket_counts(trusted, trusted_text_col or text_col,
                                  n_buckets, salt)
-    ratio = F.broadcast(_log_ratio_table(spark, p, q, n_buckets))
+        q = db.groupBy("bucket").agg(F.count(F.lit(1)).alias("c"))
+        ratio = F.broadcast(_log_ratio_table(spark, p, q, n_buckets))
     scored = (
         db.join(ratio, "bucket")
         .groupBy(id_col)
